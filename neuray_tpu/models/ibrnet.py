@@ -1,0 +1,170 @@
+"""Cross-view aggregation MLP + along-ray attention (IBRNet w/ NeuRay).
+
+Parity: reference network/ibrnet.py:239-369 (IBRNetWithNeuRay) and
+:52-102 (MultiHeadAttention with LayerNorm eps 1e-6, residual, no
+dropout at inference).
+
+TPU notes: all heavy compute is [n_rays*dn, rfn, f] matmuls and a tiny
+4-head attention over dn (= 64) positions — one fused attention per ray.
+The sinusoidal position table is a compile-time constant.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+he_normal = nn.initializers.he_normal()
+
+
+def sinusoid_pos_encoding(d_hid: int, n_samples: int) -> np.ndarray:
+    """Sinusoidal table [1, n_samples, d_hid] (reference ibrnet.py:305-313)."""
+    pos = np.arange(n_samples)[:, None]
+    hid = np.arange(d_hid)[None, :]
+    angle = pos / np.power(10000, 2 * (hid // 2) / d_hid)
+    table = np.zeros_like(angle)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table[None].astype(np.float32)
+
+
+class MultiHeadAttention(nn.Module):
+    """Post-LN multi-head attention with residual (reference ibrnet.py:52)."""
+    n_head: int
+    d_model: int
+    d_k: int
+    d_v: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None):
+        """q,k,v: [b, l, d_model]; mask: [b, l, 1] (key mask) or None."""
+        b, lq, _ = q.shape
+        residual = q
+        qh = nn.Dense(self.n_head * self.d_k, use_bias=False,
+                      dtype=self.dtype, name="w_qs")(q)
+        kh = nn.Dense(self.n_head * self.d_k, use_bias=False,
+                      dtype=self.dtype, name="w_ks")(k)
+        vh = nn.Dense(self.n_head * self.d_v, use_bias=False,
+                      dtype=self.dtype, name="w_vs")(v)
+        qh = qh.reshape(b, lq, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+        kh = kh.reshape(b, -1, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+        vh = vh.reshape(b, -1, self.n_head, self.d_v).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", qh / (self.d_k ** 0.5), kh)
+        if mask is not None:
+            # reference: masked_fill(mask == 0, -1e9) with mask broadcast
+            # over heads; mask [b, lk, 1] -> [b, 1, lk, 1] matches the
+            # reference's unsqueeze(1) broadcast over the last dim.
+            m = mask[:, None, :, :]                 # b,1,lk,1
+            m = jnp.broadcast_to(m, attn.shape[:3] + (m.shape[-1],))
+            attn = jnp.where(m == 0, -1e9, attn)
+        attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, -1)
+        out = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                       name="fc")(out)
+        out = out + residual
+        out = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(out)
+        return out, attn
+
+
+def fused_mean_variance(x, weight):
+    """Weighted mean/var over the view axis (reference ibrnet.py:112-116).
+    x [b, dn, rfn, f]; weight [b, dn, rfn, 1]."""
+    mean = jnp.sum(x * weight, axis=2, keepdims=True)
+    var = jnp.sum(weight * (x - mean) ** 2, axis=2, keepdims=True)
+    return mean, var
+
+
+class _Seq(nn.Module):
+    """Dense->ELU chain, optionally sigmoid/relu-terminated."""
+    widths: tuple
+    final: str = "elu"  # 'elu' | 'sigmoid' | 'relu' | 'none'
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i, wd in enumerate(self.widths):
+            x = nn.Dense(wd, kernel_init=he_normal, dtype=self.dtype,
+                         name=f"fc{i}")(x)
+            last = i == len(self.widths) - 1
+            if not last:
+                x = nn.elu(x)
+            elif self.final == "elu":
+                x = nn.elu(x)
+            elif self.final == "sigmoid":
+                x = nn.sigmoid(x)
+            elif self.final == "relu":
+                x = nn.relu(x)
+        return x
+
+
+class IBRNetWithNeuRay(nn.Module):
+    """Inputs (per ray microbatch):
+      rgb_feat    [b, dn, rfn, 3+in_feat_ch]   (rgb + image features)
+      neuray_feat [b, dn, rfn, neuray_in_dim]  (prob embedding)
+      ray_diff    [b, dn, rfn, 4]              (dir diff + dot)
+      mask        [b, dn, rfn, 1]
+    Output: [b, dn, 4] (rgb, sigma).
+    """
+    neuray_in_dim: int = 32
+    in_feat_ch: int = 32
+    n_samples: int = 64
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, rgb_feat, neuray_feat, ray_diff, mask):
+        num_views = rgb_feat.shape[2]
+        dt = self.dtype
+
+        direction_feat = _Seq((16, self.in_feat_ch + 3), "elu", dt,
+                              name="ray_dir_fc")(ray_diff)
+        rgb_in = rgb_feat[..., :3]
+        rgb_feat = rgb_feat + direction_feat
+
+        weight = mask / (jnp.sum(mask, axis=2, keepdims=True) + 1e-8)
+
+        # neuray weighting (reference :337-341)
+        w0 = nn.sigmoid(_Seq((8, 1), "none", dt, name="neuray_fc")(neuray_feat))
+        weight0 = w0 * weight
+        mean0, var0 = fused_mean_variance(rgb_feat, weight0)
+        mean1, var1 = fused_mean_variance(rgb_feat, weight)
+        globalfeat = jnp.concatenate([mean0, var0, mean1, var1], axis=-1)
+
+        x = jnp.concatenate(
+            [jnp.broadcast_to(globalfeat,
+                              (*globalfeat.shape[:2], num_views,
+                               globalfeat.shape[-1])),
+             rgb_feat, neuray_feat], axis=-1)
+        x = _Seq((64, 32), "elu", dt, name="base_fc")(x)
+
+        x_vis = _Seq((32, 33), "elu", dt, name="vis_fc")(x * weight)
+        x_res, vis = x_vis[..., :-1], x_vis[..., -1:]
+        vis = nn.sigmoid(vis) * mask
+        x = x + x_res
+        vis = _Seq((32, 1), "sigmoid", dt, name="vis_fc2")(x * vis) * mask
+        weight = vis / (jnp.sum(vis, axis=2, keepdims=True) + 1e-8)
+
+        mean, var = fused_mean_variance(x, weight)
+        globalfeat = jnp.concatenate(
+            [mean[:, :, 0], var[:, :, 0], jnp.mean(weight, axis=2)], axis=-1)
+        globalfeat = _Seq((64, 16), "elu", dt, name="geometry_fc")(globalfeat)
+        num_valid_obs = jnp.sum(mask, axis=2)                # b,dn,1
+
+        pos_table = jnp.asarray(
+            sinusoid_pos_encoding(16, self.n_samples))
+        globalfeat = globalfeat + pos_table[:, :globalfeat.shape[1]]
+        attn_mask = (num_valid_obs > 1).astype(globalfeat.dtype)  # b,dn,1
+        globalfeat, _ = MultiHeadAttention(
+            4, 16, 4, 4, dtype=dt, name="ray_attention")(
+                globalfeat, globalfeat, globalfeat, mask=attn_mask)
+        sigma = _Seq((16, 1), "relu", dt, name="out_geometry_fc")(globalfeat)
+        sigma_out = jnp.where(num_valid_obs < 1, 0.0, sigma)  # b,dn,1
+
+        x = jnp.concatenate([x, vis, ray_diff], axis=-1)
+        x = _Seq((16, 8, 1), "none", dt, name="rgb_fc")(x)
+        x = jnp.where(mask == 0, -1e9, x)
+        blending_weights = nn.softmax(x, axis=2)
+        rgb_out = jnp.sum(rgb_in * blending_weights, axis=2)  # b,dn,3
+        return jnp.concatenate([rgb_out, sigma_out], axis=-1)

@@ -1,0 +1,397 @@
+"""The NeuRay renderer as a Flax module + jit-compiled chunked drivers.
+
+Re-designed TPU-first from the reference orchestration (reference
+network/renderer.py):
+  * imgs_info dicts become channels-last pytrees of static-shaped arrays;
+  * the python ray-batch loop (reference renderer.py:237-252) becomes
+    ``jax.lax.map`` over fixed-size ray microbatches inside ONE jit
+    program (see render_full below), with rays padded to a multiple of
+    the chunk size;
+  * per-scene work (init net -> G', image encoder, vis encoder) runs once
+    in ``encode_scene``; per-chunk work touches only gathered features.
+
+Key naming follows the reference (qn/rn/dn/rfn, pixel_colors_nr, ...) so
+losses/metrics/CLIs keep parity.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from neuray_tpu.ops import geometry as G
+from neuray_tpu.ops import sampling as S
+from neuray_tpu.ops.compositing import alpha_values2hit_prob, composite_colors
+from neuray_tpu.ops.interpolate import (
+    grid_sample_nhwc, interpolate_feature_map)
+from neuray_tpu.ops import sh as SH
+from neuray_tpu.models.resunet import ResUNetLight
+from neuray_tpu.models.vis_encoder import name2vis_encoder
+from neuray_tpu.models.dist_decoder import name2dist_decoder
+from neuray_tpu.models.agg_net import name2agg_net
+from neuray_tpu.models.init_net import name2init_net
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static renderer configuration (reference base_cfg, renderer.py:25-52
+    + gen default_cfg :257-262), as a hashable frozen dataclass."""
+    vis_encoder_type: str = "default"
+    dist_decoder_type: str = "mixture_logistics"
+    agg_net_type: str = "default"
+    init_net_type: str = "depth"
+
+    use_vis: bool = True           # dist_decoder_cfg.use_vis
+    fine_use_vis: bool = True      # fine_dist_decoder_cfg.use_vis
+    neuray_dim: int = 32
+
+    use_hierarchical_sampling: bool = False
+    fine_depth_sample_num: int = 64
+    fine_depth_use_all: bool = False
+    ray_batch_num: int = 2048
+    depth_sample_num: int = 64
+    alpha_value_ground_state: float = -15.0
+    use_dr_prediction: bool = False
+    use_nr_color_for_dr: bool = False
+    use_self_hit_prob: bool = False
+    use_ray_mask: bool = True
+    ray_mask_view_num: int = 2
+    ray_mask_point_num: int = 8
+    render_depth: bool = False
+
+    use_depth_loss: bool = False
+    depth_loss_coords_num: int = 8192
+
+    use_bf16: bool = False         # bf16 conv/agg compute on the MXU
+
+    @classmethod
+    def from_cfg(cls, cfg: Dict[str, Any]) -> "RenderConfig":
+        """Build from a reference-style flat YAML cfg dict."""
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in cfg.items() if k in known}
+        dd = cfg.get("dist_decoder_cfg", {}) or {}
+        fdd = cfg.get("fine_dist_decoder_cfg", {}) or {}
+        if "use_vis" in dd:
+            kwargs["use_vis"] = dd["use_vis"]
+        kwargs["fine_use_vis"] = fdd.get(
+            "use_vis", kwargs.get("use_vis", True))
+        return cls(**kwargs)
+
+
+class NeurayRenderer(nn.Module):
+    """All submodules of the (generalization) renderer in one Flax tree.
+
+    Methods are invoked through ``apply(..., method=...)``; the top-level
+    ``__call__`` runs one training/eval step over a single ray chunk.
+    """
+    cfg: RenderConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = jnp.bfloat16 if c.use_bf16 else None
+        self.image_encoder = ResUNetLight(
+            in_dim=3, layers=(1, 2, 6, 4), out_dim=32, inplanes=16,
+            dtype=dt, name="image_encoder")
+        self.vis_encoder = name2vis_encoder[c.vis_encoder_type](
+            dtype=dt, name="vis_encoder")
+        self.dist_decoder = name2dist_decoder[c.dist_decoder_type](
+            {"use_vis": c.use_vis}, name="dist_decoder")
+        self.agg_net = name2agg_net[c.agg_net_type](
+            {"neuray_dim": c.neuray_dim,
+             "sample_num": c.depth_sample_num},
+            dtype=dt, name="agg_net")
+        if c.use_hierarchical_sampling:
+            self.fine_dist_decoder = name2dist_decoder[c.dist_decoder_type](
+                {"use_vis": c.fine_use_vis}, name="fine_dist_decoder")
+            self.fine_agg_net = name2agg_net[c.agg_net_type](
+                {"neuray_dim": c.neuray_dim,
+                 "sample_num": c.fine_depth_sample_num},
+                dtype=dt, name="fine_agg_net")
+        if c.init_net_type:
+            self.init_net = name2init_net[c.init_net_type](
+                {}, dtype=dt, name="init_net")
+        self.sh_regs = jnp.asarray(SH.sh_regs(3))
+
+    # ---------------- per-scene stages ----------------
+
+    def initialize_ray_feats(self, ref: Dict[str, jnp.ndarray]):
+        """Init net: build raw visibility features G' [rfn, h/4, w/4, 32].
+        (reference renderer.py:268-269)."""
+        return self.init_net(ref["imgs"], ref["depth"], ref["depth_range"],
+                             ref["poses"], ref["Ks"])
+
+    def encode_scene(self, ref: Dict[str, jnp.ndarray],
+                     ray_feats_raw: jnp.ndarray):
+        """Image encoder + vis encoder -> per-scene feature cache.
+        (reference renderer.py:228-231)."""
+        img_feats = self.image_encoder(ref["imgs"]).astype(jnp.float32)
+        ray_feats = self.vis_encoder(
+            ray_feats_raw, img_feats).astype(jnp.float32)
+        return img_feats, ray_feats
+
+    # ---------------- per-chunk rendering ----------------
+
+    def _predict_proj_ray_prob(self, prj, ref_depth_range, que_dists,
+                               is_fine: bool):
+        """(reference renderer.py:67-83)"""
+        decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
+        mean, var, vis, aw = decoder(prj["ray_feats"])
+        alpha, visibility, hit_prob = decoder.compute_prob(
+            prj["depth"][..., 0], que_dists[None], mean, var, vis, aw,
+            True, ref_depth_range)
+        mask = prj["mask"]
+        gs = self.cfg.alpha_value_ground_state
+        prj["alpha"] = alpha[..., None] * mask + (1.0 - mask) * gs
+        prj["vis"] = visibility[..., None] * mask
+        prj["hit_prob"] = hit_prob[..., None] * mask
+        return prj
+
+    def _project_and_gather(self, ref, que_pts):
+        """Project sample points into every ref view and gather rgb,
+        image features and visibility features (reference
+        render_ops.py:132-144 + renderer.py:127-135, fused)."""
+        qn, rn, dn, _ = que_pts.shape
+        rfn, h, w, _ = ref["imgs"].shape
+        pts = que_pts.reshape(qn * rn * dn, 3)
+        prj_dir, prj_pts, prj_depth, prj_mask = G.project_points_ref_views(
+            ref["poses"], ref["Ks"], h, w, pts)
+        maskf = prj_mask.astype(jnp.float32)
+
+        prj_rgb = interpolate_feature_map(ref["imgs"], prj_pts, maskf, h, w)
+        prj_ray_feats = interpolate_feature_map(
+            ref["ray_feats"], prj_pts, maskf, h, w)
+        prj_img_feats = interpolate_feature_map(
+            ref["img_feats"], prj_pts, maskf, h, w)
+
+        def rs(x):
+            return x.reshape(rfn, qn, rn, dn, -1)
+
+        return {
+            "dir": rs(prj_dir), "pts": rs(prj_pts), "depth": rs(prj_depth),
+            "mask": rs(maskf), "rgb": rs(prj_rgb),
+            "ray_feats": rs(prj_ray_feats), "img_feats": rs(prj_img_feats),
+        }
+
+    def _network_rendering(self, prj, que_dir, is_fine: bool):
+        """(reference renderer.py:157-166)"""
+        agg = self.fine_agg_net if is_fine else self.agg_net
+        density, colors = agg(prj, que_dir)
+        alpha = 1.0 - jnp.exp(-nn.relu(density))
+        hit_prob = alpha_values2hit_prob(alpha)
+        pixel_colors = composite_colors(hit_prob, colors)
+        return hit_prob, colors, pixel_colors
+
+    def _direct_rendering(self, prj, que_dir, colors_nr):
+        """SH-fit direct rendering branch (reference renderer.py:85-125)."""
+        eps = 1e-5
+        prj_alpha, prj_vis = prj["alpha"], prj["vis"]
+        alpha = (jnp.sum(prj_vis * prj_alpha, 0)
+                 / (jnp.sum(prj_vis, 0) + eps))             # qn,rn,dn,1
+        invalid_ray = (jnp.sum(prj["mask"][..., 0], 0) == 0)  # qn,rn,dn
+        gs = self.cfg.alpha_value_ground_state
+        alpha = (alpha[..., 0] * (1.0 - invalid_ray)
+                 + invalid_ray * gs)                         # qn,rn,dn
+
+        if self.cfg.use_nr_color_for_dr:
+            colors = colors_nr
+        else:
+            rfn, qn, rn, dn, _ = prj["rgb"].shape
+            pn = qn * rn * dn
+            que_dir_flat = que_dir.reshape(pn, 3)
+            prj_dir = prj["dir"].reshape(rfn, pn, 3)
+            prj_rgb = prj["rgb"].reshape(rfn, pn, 3)
+            prj_hit = prj["hit_prob"].reshape(rfn, pn)
+            w = prj_hit / (jnp.sum(prj_hit, 0, keepdims=True) + 1e-3)
+            theta = SH.sh_fit(prj_dir.transpose(1, 0, 2),
+                              prj_rgb.transpose(1, 0, 2),
+                              w.transpose(1, 0), regs=self.sh_regs)
+            colors = SH.sh_predict(que_dir_flat[:, None], theta)
+            colors = colors[:, 0].reshape(qn, rn, dn, 3)
+
+        alpha_values = jax.nn.sigmoid(alpha)
+        hit_prob = alpha_values2hit_prob(alpha_values)
+        pixel_colors = composite_colors(hit_prob, colors)
+        return hit_prob, colors, pixel_colors
+
+    def _predict_self_hit_prob(self, que, que_depth, que_dists, is_fine):
+        """Decode the query view's own ray features (finetune consistency
+        path, reference renderer.py:137-155)."""
+        qn, rn, _ = que["coords"].shape
+        h, w = que["imgs"].shape[1:3]
+        mask = jnp.ones((qn, rn), jnp.float32)
+        que_ray_feats = interpolate_feature_map(
+            que["ray_feats"], que["coords"], mask, h, w)     # qn,rn,f
+        decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
+        mean, var, vis, aw = decoder(que_ray_feats)
+        expand = lambda x: None if x is None else x[:, :, None]
+        _, _, hit_prob = decoder.compute_prob(
+            que_depth, que_dists, expand(mean), expand(var), expand(vis),
+            expand(aw), False, que["depth_range"])
+        return hit_prob
+
+    def _render_by_depth(self, que_depth, que, ref, is_train, is_fine):
+        """(reference renderer.py:168-203)"""
+        c = self.cfg
+        que_dists = S.depth2inv_dists(que_depth, que["depth_range"])
+        que_pts, que_dir = G.depth2points(
+            que["coords"], que["poses"], que["Ks"], que_depth)
+
+        prj = self._project_and_gather(ref, que_pts)
+        prj = self._predict_proj_ray_prob(
+            prj, ref["depth_range"], que_dists, is_fine)
+
+        hit_prob_nr, colors_nr, pixel_colors_nr = self._network_rendering(
+            prj, que_dir, is_fine)
+        outputs = {"pixel_colors_nr": pixel_colors_nr,
+                   "hit_prob_nr": hit_prob_nr}
+
+        if c.use_dr_prediction:
+            hit_prob_dr, _, pixel_colors_dr = self._direct_rendering(
+                prj, que_dir, colors_nr)
+            outputs["pixel_colors_dr"] = pixel_colors_dr
+            outputs["hit_prob_dr"] = hit_prob_dr
+
+        if is_train and c.use_self_hit_prob:
+            outputs["hit_prob_self"] = self._predict_self_hit_prob(
+                que, que_depth, que_dists, is_fine)
+
+        if "imgs" in que and que["imgs"] is not None:
+            outputs["pixel_colors_gt"] = grid_sample_nhwc(
+                que["imgs"], que["coords"], align_corners=True)
+
+        if c.use_ray_mask:
+            rm = jnp.sum(prj["mask"].astype(jnp.int32), 0) > c.ray_mask_view_num
+            rm = jnp.sum(rm, 2) > c.ray_mask_point_num       # qn,rn,1
+            outputs["ray_mask"] = rm[..., 0]
+
+        if c.render_depth:
+            outputs["render_depth"] = jnp.sum(hit_prob_nr * que_depth, -1)
+        return outputs
+
+    def render_chunk(self, ref: Dict[str, jnp.ndarray],
+                     que: Dict[str, jnp.ndarray], is_train: bool):
+        """Coarse + (optionally) fine render of one ray chunk.
+        (reference renderer.py:205-226)."""
+        c = self.cfg
+        qn, rn, _ = que["coords"].shape
+        que_depth, _ = S.sample_depth(
+            que["depth_range"], qn, rn, c.depth_sample_num, False)
+        outputs = self._render_by_depth(que_depth, que, ref, is_train, False)
+
+        if c.use_hierarchical_sampling:
+            rng = self.make_rng("sample") if is_train else None
+            fine_depth = S.sample_fine_depth(
+                que_depth, jax.lax.stop_gradient(outputs["hit_prob_nr"]),
+                que["depth_range"], c.fine_depth_sample_num, is_train, rng)
+            if c.fine_depth_use_all:
+                fine_depth = jnp.concatenate([que_depth, fine_depth], -1)
+            fine_depth = jnp.sort(fine_depth, -1)
+            fine_out = self._render_by_depth(
+                fine_depth, que, ref, is_train, True)
+            for k, v in fine_out.items():
+                outputs[k + "_fine"] = v
+        return outputs
+
+    # ---------------- depth-loss head ----------------
+
+    def predict_mean_for_depth_loss(self, ray_feats, coords, h: int, w: int):
+        """Decode dist means at sampled ref-image coords for the depth loss
+        (reference renderer.py:280-316). ray_feats [rfn,fh,fw,f];
+        coords [rfn,pn,2] -> dict of [rfn,pn] arrays."""
+        mask = jnp.ones(coords.shape[:2], jnp.float32)
+        feats = interpolate_feature_map(ray_feats, coords, mask, h, w)
+        mean = self.dist_decoder.predict_mean(feats)
+        outputs = {"depth_mean": mean[..., 0], "depth_mean_2": mean[..., 1]}
+        if self.cfg.use_hierarchical_sampling:
+            mean_fine = self.fine_dist_decoder.predict_mean(feats)
+            outputs["depth_mean_fine"] = mean_fine[..., 0]
+            outputs["depth_mean_fine_2"] = mean_fine[..., 1]
+        return outputs
+
+    # ---------------- training forward ----------------
+
+    def __call__(self, ref: Dict[str, jnp.ndarray],
+                 que: Dict[str, jnp.ndarray], is_train: bool = True,
+                 depth_loss_coords: Optional[jnp.ndarray] = None):
+        """Full generalization forward: init -> encode -> render one chunk.
+        (reference renderer.py:268-270, 318-327)."""
+        ray_feats_raw = self.initialize_ray_feats(ref)
+        img_feats, ray_feats = self.encode_scene(ref, ray_feats_raw)
+        ref = dict(ref)
+        ref["img_feats"] = img_feats
+        ref["ray_feats"] = ray_feats
+        outputs = self.render_chunk(ref, que, is_train)
+        if depth_loss_coords is not None:
+            h, w = ref["imgs"].shape[1:3]
+            outputs.update(self.predict_mean_for_depth_loss(
+                ray_feats, depth_loss_coords, h, w))
+            outputs["depth_coords"] = depth_loss_coords
+        return outputs
+
+
+def chunk_coords(coords: jnp.ndarray, chunk: int):
+    """Pad [qn, rn, 2] coords to a multiple of ``chunk`` and reshape to
+    [n_chunks, qn, chunk, 2]. Returns (chunks, valid_rn)."""
+    qn, rn, _ = coords.shape
+    n_chunks = -(-rn // chunk)
+    pad = n_chunks * chunk - rn
+    coords = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)), mode="edge")
+    chunks = coords.reshape(qn, n_chunks, chunk, 2).transpose(1, 0, 2, 3)
+    return chunks, rn
+
+
+_DEFAULT_KEEP = ("pixel_colors_nr", "pixel_colors_nr_fine",
+                 "pixel_colors_dr", "pixel_colors_dr_fine",
+                 "render_depth", "render_depth_fine", "ray_mask")
+
+_RENDER_FN_CACHE: dict = {}
+
+
+def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
+    """Build (and cache) the jitted full-image render function.
+
+    One jit program: scene encoding runs once; the chunk loop is a
+    compiled scan (the TPU analog of the reference's python ray-batch
+    loop, reference renderer.py:237-252).
+    """
+    cache_key = (renderer.cfg, tuple(keep_keys))
+    if cache_key in _RENDER_FN_CACHE:
+        return _RENDER_FN_CACHE[cache_key]
+    c = renderer.cfg
+
+    def impl(params, ref, que):
+        ray_feats_raw = renderer.apply(
+            params, ref, method=NeurayRenderer.initialize_ray_feats)
+        img_feats, ray_feats = renderer.apply(
+            params, ref, ray_feats_raw, method=NeurayRenderer.encode_scene)
+        ref_c = dict(ref)
+        ref_c["img_feats"] = img_feats
+        ref_c["ray_feats"] = ray_feats
+
+        chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)
+
+        def render_one(coords_chunk):
+            que_c = dict(que)
+            que_c["coords"] = coords_chunk
+            out = renderer.apply(params, ref_c, que_c, False,
+                                 method=NeurayRenderer.render_chunk)
+            return {k: v for k, v in out.items() if k in keep_keys}
+
+        outs = jax.lax.map(render_one, chunks)
+        outs = jax.tree.map(
+            lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                x.shape[1], -1, *x.shape[3:])[:, :rn], outs)
+        return outs
+
+    fn = jax.jit(impl)
+    _RENDER_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def render_full(renderer: NeurayRenderer, params, ref, que,
+                keep_keys=_DEFAULT_KEEP):
+    """Convenience wrapper over make_render_fn."""
+    return make_render_fn(renderer, keep_keys)(params, ref, que)

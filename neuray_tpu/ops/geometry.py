@@ -1,0 +1,132 @@
+"""Ray / camera geometry (pure jnp, f32).
+
+Conventions (shared with the reference system, see
+/root/reference/network/render_ops.py:4-144 and codes_explanations.md):
+  * poses are [..., 3, 4] OpenCV world->camera extrinsics ``x_cam = R x + t``
+  * Ks are [..., 3, 3] pinhole intrinsics
+  * pixel coordinates are (x, y), x along width
+  * ``qn`` query views, ``rn`` rays, ``dn`` depth samples, ``rfn`` ref views
+
+Everything here is shape-polymorphic pure functions designed to be traced
+once under jit with static shapes; no data-dependent control flow.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Camera math is tiny but precision-critical: this JAX build defaults to
+# low-precision (bf16-grade) matmuls even off the MXU, which costs ~0.2px
+# of projection error. Force full f32 for every contraction here.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def pose_inverse(pose: jnp.ndarray) -> jnp.ndarray:
+    """Invert [..., 3, 4] rigid transforms (cam->world from world->cam)."""
+    rot = jnp.swapaxes(pose[..., :3, :3], -1, -2)
+    trans = jnp.matmul(-rot, pose[..., :3, 3:], precision=_HI)
+    return jnp.concatenate([rot, trans], axis=-1)
+
+
+def camera_centers(poses: jnp.ndarray) -> jnp.ndarray:
+    """Camera centers in world space from [..., 3, 4] world->cam poses."""
+    rot_t = jnp.swapaxes(poses[..., :3, :3], -1, -2)
+    return (-jnp.matmul(rot_t, poses[..., :3, 3:], precision=_HI))[..., 0]
+
+
+def coords2rays(coords: jnp.ndarray, poses: jnp.ndarray, Ks: jnp.ndarray):
+    """Pixel coordinates -> world-space ray centers and (unnormalized) dirs.
+
+    Behavioral parity with reference render_ops.py:4-25: the direction is
+    ``R^T K^-1 [x, y, 1]`` (not normalized; its length encodes the
+    depth-along-optical-axis scaling so ``center + dir * depth`` lands at
+    z-depth ``depth``).
+
+    Args:
+      coords: [qn, rn, 2] (x, y) pixel coordinates.
+      poses:  [qn, 3, 4]
+      Ks:     [qn, 3, 3]
+    Returns:
+      centers [qn, rn, 3], directions [qn, rn, 3]
+    """
+    qn, rn, _ = coords.shape
+    rot_t = jnp.swapaxes(poses[:, :, :3], -1, -2)          # qn,3,3
+    centers = (jnp.matmul(-rot_t, poses[:, :, 3:], precision=_HI))[..., 0]            # qn,3
+    hcoords = jnp.concatenate(
+        [coords, jnp.ones((qn, rn, 1), coords.dtype)], axis=-1)  # qn,rn,3
+    Ks_inv = jnp.linalg.inv(Ks)                             # qn,3,3
+    # cam ray dirs, then rotate to world: dir = R^T K^-1 p
+    directions = jnp.einsum("qij,qrj->qri", jnp.matmul(rot_t, Ks_inv, precision=_HI), hcoords, precision=_HI)
+    centers = jnp.broadcast_to(centers[:, None, :], (qn, rn, 3))
+    return centers, directions
+
+
+def depth2points(coords, poses, Ks, que_depth):
+    """Sample 3D points along query rays + per-point viewing directions.
+
+    Parity: reference render_ops.py:27-39.
+
+    Args:
+      coords: [qn, rn, 2]; poses: [qn,3,4]; Ks: [qn,3,3]
+      que_depth: [qn, rn, dn]
+    Returns:
+      que_pts [qn, rn, dn, 3], que_dir [qn, rn, dn, 3]
+      (que_dir is the unit vector pointing from the point back to the
+       query camera, repeated along dn)
+    """
+    centers, directions = coords2rays(coords, poses, Ks)
+    que_pts = centers[:, :, None, :] + directions[:, :, None, :] * que_depth[..., None]
+    dn = que_depth.shape[-1]
+    norm = jnp.linalg.norm(directions, axis=-1, keepdims=True)
+    que_dir = -directions / norm
+    que_dir = jnp.broadcast_to(que_dir[:, :, None, :], (*que_pts.shape[:2], dn, 3))
+    return que_pts, que_dir
+
+
+def project_points_coords(pts: jnp.ndarray, poses: jnp.ndarray, Ks: jnp.ndarray):
+    """Project world points into reference views.
+
+    Parity: reference render_ops.py:82-104.
+
+    Args:
+      pts:   [pn, 3] world points.
+      poses: [rfn, 3, 4]; Ks: [rfn, 3, 3]
+    Returns:
+      pts_2d [rfn, pn, 2], valid [rfn, pn] (depth not degenerate),
+      depth [rfn, pn, 1]
+    """
+    KRt = jnp.matmul(Ks, poses, precision=_HI)                                        # rfn,3,4
+    pts_cam = jnp.einsum("vij,pj->vpi", KRt[:, :, :3], pts, precision=_HI) + KRt[:, :, 3][:, None, :]
+    depth = pts_cam[..., 2:]
+    invalid = jnp.abs(depth) < 1e-4
+    depth_safe = jnp.where(invalid, 1e-3, depth)
+    pts_2d = pts_cam[..., :2] / depth_safe
+    return pts_2d, ~invalid[..., 0], depth_safe
+
+
+def project_points_directions(poses: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Unit direction from each world point toward each ref camera center.
+
+    Parity: reference render_ops.py:106-115 (note the negation).
+    poses [rfn,3,4], points [pn,3] -> [rfn, pn, 3]
+    """
+    cam_pts = camera_centers(poses)                          # rfn,3
+    d = points[None, :, :] - cam_pts[:, None, :]             # rfn,pn,3
+    norm = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-5)
+    return -d / norm
+
+
+def project_points_ref_views(poses, Ks, h: int, w: int, que_points):
+    """Project query points into all reference views + image-bounds mask.
+
+    Parity: reference render_ops.py:117-130.
+
+    Returns prj_dir [rfn,pn,3], prj_pts [rfn,pn,2], prj_depth [rfn,pn,1],
+    valid_mask [rfn,pn].
+    """
+    prj_pts, prj_valid, prj_depth = project_points_coords(que_points, poses, Ks)
+    x, y = prj_pts[..., 0], prj_pts[..., 1]
+    in_img = (x >= -0.5) & (x < w - 0.5) & (y >= -0.5) & (y < h - 0.5)
+    valid_mask = prj_valid & in_img
+    prj_dir = project_points_directions(poses, que_points)
+    return prj_dir, prj_pts, prj_depth, valid_mask

@@ -1,0 +1,139 @@
+"""Bilinear feature interpolation (the grid_sample-equivalent gather).
+
+This is THE hot op of the system: every (query point x reference view)
+pair gathers interpolated features from reference feature maps. The
+reference implements it as torch.nn.functional.grid_sample wrapped by
+interpolate_feats (reference network/ops.py:14-34); align_corners and
+padding_mode vary by call site and are parity-critical.
+
+TPU-native design: channels-last [n, h, w, c] maps, one flat gather of 4
+taps per point from the [h*w, c] view, lerp on the VPU. A fused
+projection+gather Pallas kernel lives in ops/pallas/ for the hot path;
+this jnp version is the semantics reference and autodiff path.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(points: jnp.ndarray, h: int, w: int, align_corners: bool):
+    """Map pixel coords (relative to an (h, w) image) through the
+    reference's normalize->grid_sample-unnormalize round trip.
+
+    The reference normalizes px -> px/(w-1)*2-1 and then grid_sample
+    unnormalizes with its own convention, so the composite is:
+      align_corners=True:  ix = px                       (identity)
+      align_corners=False: ix = px * w/(w-1) - 0.5
+    (and same for y with h). The non-identity case matters whenever the
+    feature map resolution differs from the (h, w) the coords live in.
+    """
+    x, y = points[..., 0], points[..., 1]
+    if align_corners:
+        return x, y
+    return x * (w / (w - 1.0)) - 0.5, y * (h / (h - 1.0)) - 0.5
+
+
+def grid_sample_nhwc(feats: jnp.ndarray, points: jnp.ndarray,
+                     h: int | None = None, w: int | None = None,
+                     padding_mode: str = "zeros",
+                     align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear-sample channels-last feature maps at pixel coordinates.
+
+    Args:
+      feats:  [n, fh, fw, c] feature maps.
+      points: [n, pn, 2] (x, y) pixel coords expressed in an (h, w) frame
+              (defaults to (fh, fw)).
+      padding_mode: 'zeros' | 'border' (the two modes the system uses).
+      align_corners: grid_sample flag; see _unnormalize.
+    Returns:
+      [n, pn, c] interpolated features.
+    """
+    n, fh, fw, c = feats.shape
+    if h is None and w is None:
+        h, w = fh, fw
+    # coords in an (h,w) frame; scale-to-feature-map happens through the
+    # normalized round trip exactly as the reference does it.
+    x_norm = points[..., 0] / (w - 1.0) * 2.0 - 1.0
+    y_norm = points[..., 1] / (h - 1.0) * 2.0 - 1.0
+    if align_corners:
+        ix = (x_norm + 1.0) / 2.0 * (fw - 1.0)
+        iy = (y_norm + 1.0) / 2.0 * (fh - 1.0)
+    else:
+        ix = ((x_norm + 1.0) * fw - 1.0) / 2.0
+        iy = ((y_norm + 1.0) * fh - 1.0) / 2.0
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    tx = ix - x0
+    ty = iy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    if padding_mode == "zeros":
+        def tap_weight_mask(xi, yi):
+            inb = (xi >= 0) & (xi < fw) & (yi >= 0) & (yi < fh)
+            return inb.astype(feats.dtype)
+        m00 = tap_weight_mask(x0, y0)
+        m01 = tap_weight_mask(x1, y0)
+        m10 = tap_weight_mask(x0, y1)
+        m11 = tap_weight_mask(x1, y1)
+    elif padding_mode == "border":
+        one = jnp.ones(ix.shape, feats.dtype)
+        m00 = m01 = m10 = m11 = one
+    else:
+        raise ValueError(f"unsupported padding_mode {padding_mode!r}")
+
+    x0c = jnp.clip(x0, 0, fw - 1)
+    x1c = jnp.clip(x1, 0, fw - 1)
+    y0c = jnp.clip(y0, 0, fh - 1)
+    y1c = jnp.clip(y1, 0, fh - 1)
+
+    flat = feats.reshape(n, fh * fw, c)
+
+    def gather(yi, xi):
+        idx = yi * fw + xi                                   # n,pn
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    w00 = ((1 - tx) * (1 - ty) * m00)[..., None]
+    w01 = (tx * (1 - ty) * m01)[..., None]
+    w10 = ((1 - tx) * ty * m10)[..., None]
+    w11 = (tx * ty * m11)[..., None]
+
+    out = (gather(y0c, x0c) * w00 + gather(y0c, x1c) * w01 +
+           gather(y1c, x0c) * w10 + gather(y1c, x1c) * w11)
+    return out
+
+
+def interpolate_feats(feats, points, h=None, w=None,
+                      padding_mode="zeros", align_corners=False):
+    """Alias matching the reference API name (reference ops.py:14)."""
+    return grid_sample_nhwc(feats, points, h, w, padding_mode, align_corners)
+
+
+def interpolate_feature_map(feats, coords, mask, h: int, w: int,
+                            padding_mode: str = "border"):
+    """Interpolate + zero out invalid projections.
+
+    Parity: reference render_ops.py:54-70 — align_corners=True iff the
+    feature map is at full (h, w) resolution.
+
+    feats [n, fh, fw, c]; coords [n, pn, 2]; mask [n, pn] -> [n, pn, c]
+    """
+    fh, fw = feats.shape[1:3]
+    align = (fh == h and fw == w)
+    out = grid_sample_nhwc(feats, coords, h, w, padding_mode, align)
+    return out * mask[..., None].astype(out.dtype)
+
+
+def masked_mean_var(feats: jnp.ndarray, mask: jnp.ndarray, axis: int):
+    """Mean/var over ``axis`` counting only mask>0 entries.
+
+    Parity: reference ops.py:36-41. feats [...], mask broadcastable.
+    """
+    mask = mask.astype(feats.dtype)
+    mask_sum = jnp.maximum(jnp.sum(mask, axis=axis, keepdims=True), 1e-4)
+    mean = jnp.sum(feats * mask, axis=axis, keepdims=True) / mask_sum
+    var = jnp.sum((feats - mean) ** 2 * mask, axis=axis, keepdims=True) / mask_sum
+    return mean, var

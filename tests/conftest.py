@@ -1,0 +1,52 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must set env vars before jax is imported anywhere in the test process.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# XLA-CPU compiles dominate test wall time; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def make_camera(rng, h=48, w=64, radius=4.0):
+    """Random look-at-origin camera: returns (pose [3,4], K [3,3])."""
+    d = rng.randn(3)
+    d = d / np.linalg.norm(d)
+    center = d * radius
+    z = -d  # look at origin
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(up, z)) > 0.98:
+        up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], 0)  # world->cam rows
+    t = -R @ center
+    pose = np.concatenate([R, t[:, None]], 1).astype(np.float32)
+    K = np.array([[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]],
+                 dtype=np.float32)
+    return pose, K
+
+
+@pytest.fixture
+def cameras():
+    return make_camera

@@ -1,0 +1,88 @@
+"""grid_sample semantic-parity tests: our gather vs torch.nn.functional
+.grid_sample through the reference's normalization (torch used strictly as
+a test oracle)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from neuray_tpu.ops.interpolate import (
+    grid_sample_nhwc, interpolate_feature_map, masked_mean_var)
+
+
+def torch_interpolate_feats(feats_nchw, points, h, w, padding_mode,
+                            align_corners):
+    """The reference's interpolate_feats (ops.py:14-34), as oracle."""
+    x_norm = points[:, :, 0] / (w - 1) * 2 - 1
+    y_norm = points[:, :, 1] / (h - 1) * 2 - 1
+    pn = torch.stack([x_norm, y_norm], -1).unsqueeze(1)
+    out = F.grid_sample(feats_nchw, pn, mode="bilinear",
+                        padding_mode=padding_mode,
+                        align_corners=align_corners).squeeze(2)
+    return out.permute(0, 2, 1)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("scale", [1, 4])
+def test_grid_sample_matches_torch(rng, padding_mode, align_corners, scale):
+    n, h, w, c = 2, 32, 40, 5
+    fh, fw = h // scale, w // scale
+    feats = rng.randn(n, fh, fw, c).astype(np.float32)
+    # points in the (h, w) frame, including out-of-range ones
+    points = (rng.rand(n, 300, 2) * [w + 10, h + 10] - [5, 5]
+              ).astype(np.float32)
+
+    ours = np.asarray(grid_sample_nhwc(
+        jnp.asarray(feats), jnp.asarray(points), h, w,
+        padding_mode, align_corners))
+
+    oracle = torch_interpolate_feats(
+        torch.from_numpy(feats.transpose(0, 3, 1, 2)),
+        torch.from_numpy(points), h, w, padding_mode, align_corners).numpy()
+
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_interpolate_feature_map_align_switch(rng):
+    """align_corners must flip automatically on resolution mismatch
+    (reference render_ops.py:54-70)."""
+    h, w = 32, 40
+    feats_full = rng.randn(1, h, w, 3).astype(np.float32)
+    feats_quarter = rng.randn(1, h // 4, w // 4, 3).astype(np.float32)
+    points = (rng.rand(1, 64, 2) * [w - 1, h - 1]).astype(np.float32)
+    mask = np.ones((1, 64), np.float32)
+
+    for feats, align in [(feats_full, True), (feats_quarter, False)]:
+        ours = np.asarray(interpolate_feature_map(
+            jnp.asarray(feats), jnp.asarray(points), jnp.asarray(mask), h, w))
+        oracle = torch_interpolate_feats(
+            torch.from_numpy(feats.transpose(0, 3, 1, 2)),
+            torch.from_numpy(points), h, w, "border", align).numpy()
+        np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_interpolate_feature_map_masks_invalid(rng):
+    h, w = 16, 16
+    feats = rng.randn(1, h, w, 2).astype(np.float32) + 10.0
+    points = (rng.rand(1, 8, 2) * [w - 1, h - 1]).astype(np.float32)
+    mask = np.zeros((1, 8), np.float32)
+    out = np.asarray(interpolate_feature_map(
+        jnp.asarray(feats), jnp.asarray(points), jnp.asarray(mask), h, w))
+    assert (out == 0).all()
+
+
+def test_masked_mean_var(rng):
+    x = rng.randn(4, 7, 3).astype(np.float32)
+    m = (rng.rand(4, 7, 1) > 0.4).astype(np.float32)
+    mean, var = masked_mean_var(jnp.asarray(x), jnp.asarray(m), 1)
+    mean, var = np.asarray(mean), np.asarray(var)
+    for b in range(4):
+        sel = m[b, :, 0] > 0
+        if sel.sum() == 0:
+            continue
+        np.testing.assert_allclose(mean[b, 0], x[b, sel].mean(0), rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(var[b, 0], x[b, sel].var(0), rtol=1e-3,
+                                   atol=1e-5)

@@ -1,0 +1,142 @@
+"""End-to-end renderer smoke + behavior tests on a tiny synthetic scene."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neuray_tpu.models.renderer import (
+    NeurayRenderer, RenderConfig, render_full)
+
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+from conftest import make_camera  # noqa: E402
+
+
+def make_scene(rng, rfn=3, h=32, w=32):
+    """Reference views of a diffuse unit sphere at the origin."""
+    imgs, poses, Ks, depths = [], [], [], []
+    for _ in range(rfn):
+        pose, K = make_camera(rng, h, w, radius=4.0)
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        pix = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float32)
+        Kinv = np.linalg.inv(K)
+        dirs_cam = pix @ Kinv.T
+        R, t = pose[:, :3], pose[:, 3]
+        center = -R.T @ t
+        dirs = dirs_cam @ R  # world
+        # ray-sphere intersection, radius 1
+        oc = center
+        b = 2 * dirs @ oc
+        a = np.sum(dirs * dirs, -1)
+        c = oc @ oc - 1.0
+        disc = b * b - 4 * a * c
+        hit = disc > 0
+        tt = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0)
+        pts = center[None, None] + dirs * tt[..., None]
+        # diffuse shading by normal
+        shade = np.clip(pts @ np.array([0.5, 0.5, 0.7]), 0, 1)
+        img = np.where(hit[..., None],
+                       np.stack([shade, shade * 0.5, 1 - shade], -1), 0.0)
+        zdepth = np.where(hit, (pts @ R[2] + t[2]), 0).astype(np.float32)
+        imgs.append(img.astype(np.float32))
+        poses.append(pose)
+        Ks.append(K)
+        depths.append(zdepth)
+    ref = {
+        "imgs": jnp.asarray(np.stack(imgs)),
+        "poses": jnp.asarray(np.stack(poses)),
+        "Ks": jnp.asarray(np.stack(Ks)),
+        "depth_range": jnp.asarray(np.tile([[2.5, 5.5]], (rfn, 1))
+                                   .astype(np.float32)),
+        "depth": jnp.asarray(np.stack(depths)[..., None]),
+    }
+    return ref
+
+
+CFG = RenderConfig(depth_sample_num=8, fine_depth_sample_num=8,
+                   use_hierarchical_sampling=True, ray_batch_num=16,
+                   use_vis=False, fine_use_vis=False,
+                   use_dr_prediction=True, use_self_hit_prob=False,
+                   render_depth=True)
+
+
+@pytest.fixture(scope="module")
+def scene_and_params():
+    rng = np.random.RandomState(3)
+    ref = make_scene(rng)
+    que_pose, que_K = make_camera(rng, 32, 32, radius=4.0)
+    coords = (rng.rand(1, 32, 2) * 31).astype(np.float32)
+    que = {
+        "coords": jnp.asarray(coords),
+        "poses": jnp.asarray(que_pose[None]),
+        "Ks": jnp.asarray(que_K[None]),
+        "depth_range": jnp.asarray(np.array([[2.5, 5.5]], np.float32)),
+        "imgs": ref["imgs"][:1],
+    }
+    renderer = NeurayRenderer(CFG)
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ref, que, True)
+    return renderer, params, ref, que
+
+
+def test_train_forward_outputs(scene_and_params):
+    renderer, params, ref, que = scene_and_params
+    out = renderer.apply(params, ref, que, True,
+                         rngs={"sample": jax.random.PRNGKey(2)})
+    assert out["pixel_colors_nr"].shape == (1, 32, 3)
+    assert out["pixel_colors_nr_fine"].shape == (1, 32, 3)
+    assert out["pixel_colors_gt"].shape == (1, 32, 3)
+    assert out["hit_prob_nr"].shape == (1, 32, 8)
+    assert out["ray_mask"].shape == (1, 32)
+    assert out["render_depth"].shape == (1, 32)
+    assert out["pixel_colors_dr"].shape == (1, 32, 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), f"{k} not finite"
+    # hit probs sum <= 1
+    assert (np.asarray(out["hit_prob_nr"]).sum(-1) <= 1 + 1e-4).all()
+    # render depth within range
+    rd = np.asarray(out["render_depth"])
+    hp = np.asarray(out["hit_prob_nr"]).sum(-1)
+    assert (rd <= 5.5 * hp + 1e-4).all()
+
+
+def test_train_forward_depth_loss_head(scene_and_params):
+    renderer, params, ref, que = scene_and_params
+    coords = jnp.asarray(
+        (np.random.RandomState(0).rand(3, 16, 2) * 31).astype(np.float32))
+    out = renderer.apply(params, ref, que, True, coords,
+                         rngs={"sample": jax.random.PRNGKey(2)})
+    assert out["depth_mean"].shape == (3, 16)
+    assert out["depth_mean_fine"].shape == (3, 16)
+
+
+def test_render_full_matches_chunked(scene_and_params):
+    """Chunked lax.map render must equal a single-chunk render."""
+    renderer, params, ref, que = scene_and_params
+    out = render_full(renderer, params, ref, que)
+    assert out["pixel_colors_nr"].shape == (1, 32, 3)
+
+    big = NeurayRenderer(CFG.__class__(**{
+        **CFG.__dict__, "ray_batch_num": 32}))
+    out2 = render_full(big, params, ref, que)
+    np.testing.assert_allclose(np.asarray(out["pixel_colors_nr_fine"]),
+                               np.asarray(out2["pixel_colors_nr_fine"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_flow(scene_and_params):
+    renderer, params, ref, que = scene_and_params
+
+    def loss_fn(p):
+        out = renderer.apply(p, ref, que, True,
+                             rngs={"sample": jax.random.PRNGKey(2)})
+        return jnp.mean((out["pixel_colors_nr"] - out["pixel_colors_gt"])**2) \
+            + jnp.mean((out["pixel_colors_nr_fine"]
+                        - out["pixel_colors_gt"])**2)
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    nonzero = sum(float(np.abs(np.asarray(g)).sum() > 0) for g in leaves)
+    assert nonzero / len(leaves) > 0.5
