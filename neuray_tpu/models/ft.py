@@ -1,0 +1,347 @@
+"""Per-scene finetuning: the per-view visibility feature maps G' become
+trainable parameters initialized from a generalization checkpoint.
+
+Parity: reference network/renderer.py:331-547 (NeuralRayFtRenderer —
+per-view nn.ParameterList ray_feats :437, init from gen model :436-467,
+neighbor-pool view selection :505-513, validate :493, render_pose :527).
+
+JAX design: the whole scene (all ref views) lives as device arrays; FT
+params are a pytree {"net": <renderer modules>, "ray_feats":
+[N, fh, fw, c]}. Each train step gathers the selected views' images and
+ray-feat maps with jnp.take (gradients scatter back through the gather),
+so ONE compiled step serves every iteration — no per-view recompiles.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+from neuray_tpu.data.database import parse_database_name, get_database_split
+from neuray_tpu.data.imgs_info import (
+    build_imgs_info, imgs_info_slice, get_coords_mask)
+from neuray_tpu.data.view_select import (
+    compute_nearest_camera_indices, select_working_views)
+from neuray_tpu.utils.config import load_cfg
+
+
+FT_DEFAULT_CFG = {
+    "database_name": "nerf_synthetic/lego/black_400",
+    "database_split": "val_all",
+    "ref_pad_interval": 16,
+    "use_consistent_depth_range": True,
+    "gen_cfg": None,
+    "use_validation": True,
+    "validate_initialization": True,
+    "init_view_num": 8,
+    "init_src_view_num": 3,
+    "include_self_prob": 0.01,
+    "neighbor_view_num": 8,
+    "neighbor_pool_ratio": 2,
+    "train_ray_num": 512,
+    "foreground_ratio": 0.5,
+    "ray_feats_res": [200, 200],
+    "ray_feats_dim": 32,
+}
+
+
+class FtRenderer:
+    """Host-side orchestration of per-scene finetuning."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        self.cfg = {**FT_DEFAULT_CFG, **cfg}
+        # the FT renderer itself has no init net
+        self.render_cfg = RenderConfig.from_cfg(
+            {**cfg, "init_net_type": ""})
+        self.renderer = NeurayRenderer(self.render_cfg)
+
+        self.database = parse_database_name(self.cfg["database_name"])
+        self.ref_ids, self.val_ids = get_database_split(
+            self.database, self.cfg["database_split"])
+        self.ref_ids = np.asarray(self.ref_ids)
+
+        self.ref_dist_idx = compute_nearest_camera_indices(
+            self.database, list(self.ref_ids))
+        ref_info = build_imgs_info(
+            self.database, list(self.ref_ids),
+            self.cfg["ref_pad_interval"], True, replace_none_depth=True)
+        if self.cfg["use_consistent_depth_range"]:
+            ref_info["depth_range"][:, 0] = np.min(ref_info["depth_range"])
+            ref_info["depth_range"][:, 1] = np.max(ref_info["depth_range"])
+        self.ref_info = ref_info  # numpy store, device_put on demand
+        self.ref_store = jax.tree.map(jnp.asarray, {
+            k: v for k, v in ref_info.items()
+            if k in ("imgs", "poses", "Ks", "depth_range", "masks")})
+
+        if self.cfg["use_validation"]:
+            self.val_dist_idx = compute_nearest_camera_indices(
+                self.database, list(self.val_ids), list(self.ref_ids))
+            self.val_info = build_imgs_info(
+                self.database, list(self.val_ids), -1, True,
+                has_depth=False)
+
+    # ---------------- initialization ----------------
+
+    def init_params(self, rng_key=None):
+        """Build FT params: ray_feats from the gen model's init net (or
+        random when training from scratch), module weights copied from
+        the gen checkpoint (reference renderer.py:436-467)."""
+        rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+        n = len(self.ref_ids)
+
+        if self.cfg["gen_cfg"] is not None:
+            gen_cfg = load_cfg(self.cfg["gen_cfg"])
+            gen_render_cfg = RenderConfig.from_cfg(gen_cfg)
+            gen_renderer = NeurayRenderer(gen_render_cfg)
+            import orbax.checkpoint as ocp
+            ckpt = os.path.abspath(
+                f'data/model/{gen_cfg["name"]}/ckpt_best')
+            if not os.path.exists(ckpt):
+                ckpt = os.path.abspath(f'data/model/{gen_cfg["name"]}/ckpt')
+            gen_params = ocp.PyTreeCheckpointer().restore(ckpt)["params"]
+
+            init_fn = jax.jit(lambda p, ref: gen_renderer.apply(
+                p, ref, method=NeurayRenderer.initialize_ray_feats))
+
+            feats = []
+            for i, ref_id in enumerate(self.ref_ids):
+                dist_idx = self.ref_dist_idx[i]
+                sel = dist_idx[:self.cfg["init_view_num"]]
+                assert self.ref_ids[sel[0]] == ref_id
+                info = imgs_info_slice(self.ref_info, sel)
+                ref = jax.tree.map(jnp.asarray, {
+                    k: info[k] for k in
+                    ("imgs", "poses", "Ks", "depth_range", "depth")})
+                feats.append(np.asarray(init_fn(gen_params, ref))[0])
+            ray_feats = jnp.asarray(np.stack(feats))  # n,fh,fw,c
+
+            # copy shared module weights from the gen model
+            net_params = {"params": {
+                k: v for k, v in gen_params["params"].items()
+                if k != "init_net"}}
+        else:
+            fh, fw = self.cfg["ray_feats_res"]
+            dim = self.cfg["ray_feats_dim"]
+            ray_feats = jax.random.normal(
+                rng_key, (n, fh, fw, dim), jnp.float32)
+            # random-init module weights
+            que_stub = self._build_que_train(
+                np.arange(self.cfg["neighbor_view_num"]), 0,
+                np.random.RandomState(0))
+            ref_stub = self._slice_ref(
+                np.arange(self.cfg["neighbor_view_num"]))
+            ref_stub["ray_feats_raw"] = ray_feats[
+                :self.cfg["neighbor_view_num"]]
+            net_params = self._random_net_params(rng_key, ref_stub,
+                                                 que_stub)
+        return {"net": net_params, "ray_feats": ray_feats}
+
+    def _random_net_params(self, rng_key, ref_stub, que_stub):
+        raw = ref_stub.pop("ray_feats_raw")
+
+        def fwd(mdl):
+            img_feats, ray_feats = mdl.encode_scene(ref_stub, raw)
+            ref_c = dict(ref_stub)
+            ref_c["img_feats"] = img_feats
+            ref_c["ray_feats"] = ray_feats
+            return mdl.render_chunk(ref_c, que_stub, False)
+
+        import flax.linen as nn
+        return nn.init(fwd, self.renderer)(
+            {"params": rng_key, "sample": rng_key})
+
+    # ---------------- per-step host logic ----------------
+
+    def _slice_ref(self, idx):
+        idx = jnp.asarray(idx)
+        return {k: jnp.take(v, idx, axis=0)
+                for k, v in self.ref_store.items() if k != "masks"}
+
+    def _build_que_train(self, ref_idx, que_i, rng):
+        info = self.ref_info
+        mask = info["masks"][que_i, :, :, 0] > 0
+        coords = get_coords_mask(
+            mask, self.cfg["train_ray_num"],
+            self.cfg["foreground_ratio"], rng).reshape(1, -1, 2)
+        return {
+            "coords": jnp.asarray(coords),
+            "poses": jnp.asarray(info["poses"][que_i:que_i + 1]),
+            "Ks": jnp.asarray(info["Ks"][que_i:que_i + 1]),
+            "depth_range": jnp.asarray(
+                info["depth_range"][que_i:que_i + 1]),
+            "imgs": jnp.asarray(info["imgs"][que_i:que_i + 1]),
+        }
+
+    def sample_train_indices(self, rng: np.random.RandomState):
+        """Neighbor-pool view selection (reference renderer.py:505-513)."""
+        c = self.cfg
+        que_i = rng.randint(0, len(self.ref_ids))
+        ref_idx = self.ref_dist_idx[que_i]
+        if rng.random() > c["include_self_prob"]:
+            ref_idx = ref_idx[1:]
+        ref_idx = ref_idx[:c["neighbor_view_num"] * c["neighbor_pool_ratio"]]
+        ref_idx = np.array(ref_idx)
+        rng.shuffle(ref_idx)
+        return que_i, ref_idx[:c["neighbor_view_num"]]
+
+    # ---------------- compiled steps ----------------
+
+    def make_train_step(self, optimizer, loss_fn):
+        """One jitted FT train step: gathers views by traced indices so
+        every iteration reuses the same program."""
+        renderer = self.renderer
+        use_self = self.render_cfg.use_self_hit_prob
+
+        def step(params, opt_state, ref_idx, que, que_idx, rng):
+            def loss(params):
+                ref = self._slice_ref(ref_idx)
+                raw = jnp.take(params["ray_feats"], ref_idx, axis=0)
+                img_feats, ray_feats = renderer.apply(
+                    params["net"], ref, raw,
+                    method=NeurayRenderer.encode_scene)
+                ref_c = dict(ref)
+                ref_c["img_feats"] = img_feats
+                ref_c["ray_feats"] = ray_feats
+
+                que_c = dict(que)
+                if use_self:
+                    que_raw = params["ray_feats"][que_idx][None]
+                    _, que_rf = renderer.apply(
+                        params["net"], {"imgs": que["imgs"]}, que_raw,
+                        method=NeurayRenderer.encode_scene)
+                    que_c["ray_feats"] = que_rf
+                outputs = renderer.apply(
+                    params["net"], ref_c, que_c, True,
+                    method=NeurayRenderer.render_chunk,
+                    rngs={"sample": rng})
+                losses = loss_fn(outputs, {})
+                total = sum(jnp.mean(v) for k, v in losses.items()
+                            if k.startswith("loss"))
+                return total, losses
+
+            (total, losses), grads = jax.value_and_grad(
+                loss, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+            metrics = {k: jnp.mean(v) for k, v in losses.items()}
+            metrics["loss_total"] = total
+            return params, opt_state, metrics
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def validate_view(self, params, render_fn, vi: int):
+        """Full-image render of held-out view vi (reference :493-503)."""
+        c = self.cfg
+        ref_idx = self.val_dist_idx[vi][:c["neighbor_view_num"]]
+        ref = self._slice_ref(ref_idx)
+        ref["ray_feats_raw"] = jnp.take(
+            params["ray_feats"], jnp.asarray(ref_idx), axis=0)
+        h, w = self.val_info["imgs"].shape[1:3]
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        coords = np.stack([xs, ys], -1).reshape(1, -1, 2).astype(np.float32)
+        que = {
+            "coords": jnp.asarray(coords),
+            "poses": jnp.asarray(self.val_info["poses"][vi:vi + 1]),
+            "Ks": jnp.asarray(self.val_info["Ks"][vi:vi + 1]),
+            "depth_range": jnp.asarray(
+                self.val_info["depth_range"][vi:vi + 1]),
+        }
+        out = render_fn(params["net"], ref, que)
+        gt = self.val_info["imgs"][vi]
+        return out, gt, (h, w)
+
+
+def make_ft_render_fn(ft: FtRenderer, mesh=None,
+                      keep_keys=("pixel_colors_nr",
+                                 "pixel_colors_nr_fine")):
+    """Full-image render fn for FT params (ref carries ray_feats_raw)."""
+    renderer = ft.renderer
+    c = ft.render_cfg
+
+    def impl(net_params, ref, que):
+        raw = ref.pop("ray_feats_raw")
+        img_feats, ray_feats = renderer.apply(
+            net_params, ref, raw, method=NeurayRenderer.encode_scene)
+        ref_c = dict(ref)
+        ref_c["img_feats"] = img_feats
+        ref_c["ray_feats"] = ray_feats
+
+        from neuray_tpu.models.renderer import chunk_coords
+        chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)
+        que_base = {k: v for k, v in que.items() if k != "coords"}
+
+        def render_one(cc):
+            q = dict(que_base)
+            q["coords"] = cc
+            out = renderer.apply(net_params, ref_c, q, False,
+                                 method=NeurayRenderer.render_chunk)
+            return {k: v for k, v in out.items() if k in keep_keys}
+
+        outs = jax.lax.map(render_one, chunks)
+        return jax.tree.map(
+            lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                x.shape[1], -1, *x.shape[3:])[:, :rn], outs)
+
+    return jax.jit(impl)
+
+
+def render_video_ft(database_name, cfg_fn, pose_type, pose_fn,
+                    render_depth, ray_num, rb, re):
+    """FT rendering CLI path (reference render.py:155-194)."""
+    import cv2
+    from pathlib import Path
+    from neuray_tpu.train.metrics import color_map_backward
+    from neuray_tpu.data.render_poses import get_render_poses
+    import orbax.checkpoint as ocp
+
+    cfg = load_cfg(cfg_fn)
+    cfg["ray_batch_num"] = ray_num
+    ft = FtRenderer(cfg)
+    ckpt = os.path.abspath(f'data/model/{cfg["name"]}/ckpt_best')
+    if not os.path.exists(ckpt):
+        ckpt = os.path.abspath(f'data/model/{cfg["name"]}/ckpt')
+    params = ocp.PyTreeCheckpointer().restore(ckpt)["params"]
+
+    database = ft.database
+    que_poses = get_render_poses(database, pose_type, pose_fn)
+    render_fn = make_ft_render_fn(ft)
+
+    output_dir = (f'data/render/{database_name.replace("/", "_")}/'
+                  f'{cfg["name"]}-{pose_type}')
+    Path(output_dir).mkdir(exist_ok=True, parents=True)
+    k0 = database.get_img_ids()[0]
+    h, w = database.get_image(k0).shape[:2]
+    K = database.get_K(k0)
+    dr = ft.ref_info["depth_range"][0]
+
+    re = len(que_poses) if re == -1 else min(re, len(que_poses))
+    for qi in range(rb, re):
+        if os.path.exists(f"{output_dir}/{qi}-nr_fine.jpg"):
+            continue
+        ref_idx = select_working_views(
+            np.asarray(ft.ref_info["poses"]), que_poses[qi:qi + 1],
+            ft.cfg["neighbor_view_num"], True)[0]
+        ref = ft._slice_ref(ref_idx)
+        ref["ray_feats_raw"] = jnp.take(
+            params["ray_feats"], jnp.asarray(ref_idx), axis=0)
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        coords = np.stack([xs, ys], -1).reshape(1, -1, 2).astype(np.float32)
+        que = {"coords": jnp.asarray(coords),
+               "poses": jnp.asarray(que_poses[qi][None]),
+               "Ks": jnp.asarray(K[None]),
+               "depth_range": jnp.asarray(dr[None])}
+        out = render_fn(params["net"], ref, que)
+        for suffix in ("nr", "nr_fine"):
+            key = f"pixel_colors_{suffix}"
+            if key in out:
+                img = color_map_backward(
+                    np.asarray(out[key]).reshape(h, w, 3))
+                cv2.imwrite(f"{output_dir}/{qi}-{suffix}.jpg",
+                            img[:, :, ::-1])
+        print(f"rendered {qi + 1}/{re}", flush=True)

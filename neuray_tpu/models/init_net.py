@@ -98,9 +98,11 @@ class DepthInitNet(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, imgs, depth, depth_range, poses, Ks):
-        """imgs [rfn,h,w,3]; depth [rfn,h,w,1] (metric, estimated);
-        -> G' [rfn, h/4, w/4, 32]."""
+    def __call__(self, ref, src=None, is_train: bool = False):
+        """ref imgs_info dict with imgs [rfn,h,w,3] and estimated metric
+        depth [rfn,h,w,1] -> G' [rfn, h/4, w/4, 32]."""
+        imgs, depth = ref["imgs"], ref["depth"]
+        depth_range, poses, Ks = ref["depth_range"], ref["poses"], ref["Ks"]
         depth_n = extract_depth_for_init(depth_range, depth)
         diff = get_diff_feats(imgs, depth_n, depth_range, poses, Ks)
         feats = ResEncoder(dtype=self.dtype, name="res_net")(
@@ -116,4 +118,10 @@ class DepthInitNet(nn.Module):
         return out
 
 
-name2init_net = {"depth": DepthInitNet}
+def _cost_volume_init_net(cfg, **kwargs):
+    from neuray_tpu.models.cost_volume import CostVolumeInitNet
+    return CostVolumeInitNet(cfg, **kwargs)
+
+
+name2init_net = {"depth": DepthInitNet,
+                 "cost_volume": _cost_volume_init_net}

@@ -117,11 +117,12 @@ class NeurayRenderer(nn.Module):
 
     # ---------------- per-scene stages ----------------
 
-    def initialize_ray_feats(self, ref: Dict[str, jnp.ndarray]):
+    def initialize_ray_feats(self, ref: Dict[str, jnp.ndarray],
+                             src: Optional[Dict[str, jnp.ndarray]] = None,
+                             is_train: bool = False):
         """Init net: build raw visibility features G' [rfn, h/4, w/4, 32].
         (reference renderer.py:268-269)."""
-        return self.init_net(ref["imgs"], ref["depth"], ref["depth_range"],
-                             ref["poses"], ref["Ks"])
+        return self.init_net(ref, src, is_train)
 
     def encode_scene(self, ref: Dict[str, jnp.ndarray],
                      ray_feats_raw: jnp.ndarray):
@@ -315,10 +316,11 @@ class NeurayRenderer(nn.Module):
 
     def __call__(self, ref: Dict[str, jnp.ndarray],
                  que: Dict[str, jnp.ndarray], is_train: bool = True,
-                 depth_loss_coords: Optional[jnp.ndarray] = None):
+                 depth_loss_coords: Optional[jnp.ndarray] = None,
+                 src: Optional[Dict[str, jnp.ndarray]] = None):
         """Full generalization forward: init -> encode -> render one chunk.
         (reference renderer.py:268-270, 318-327)."""
-        ray_feats_raw = self.initialize_ray_feats(ref)
+        ray_feats_raw = self.initialize_ray_feats(ref, src, is_train)
         img_feats, ray_feats = self.encode_scene(ref, ray_feats_raw)
         ref = dict(ref)
         ref["img_feats"] = img_feats

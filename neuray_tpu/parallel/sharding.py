@@ -1,0 +1,164 @@
+"""Multi-chip execution: ray-sharded rendering and data-parallel training.
+
+The reference is single-process single-GPU (reference train/trainer.py:66
+raises on multi_gpus; SURVEY.md section 2.5) — there is no distributed
+design to translate, so this is TPU-native by construction:
+
+  * RENDERING shards the ray axis of a single scene across the mesh via
+    shard_map: every chip holds the (small) scene feature cache and
+    renders its ray slice; results concatenate along rays. Collectives:
+    none in the hot loop (pure data parallel over rays; the gather reads
+    replicated feature maps).
+  * TRAINING is scene-level data parallelism: each chip takes one scene
+    sample of the batch, computes local grads, and a psum over the mesh
+    averages them (the optax update then runs replicated). This scales
+    the reference's batch=1 recipe to batch=n_devices.
+
+Both run over a 1-D jax.sharding.Mesh and work on any device count,
+including the virtual CPU mesh used in tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from neuray_tpu.models.renderer import NeurayRenderer, chunk_coords
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+# ------------------------- sharded rendering -------------------------
+
+_SHARDED_RENDER_CACHE: dict = {}
+
+
+def make_sharded_render_fn(renderer: NeurayRenderer, mesh: Mesh,
+                           keep_keys=("pixel_colors_nr",
+                                      "pixel_colors_nr_fine", "ray_mask")):
+    """Jitted full render with the ray axis sharded over the mesh.
+
+    Returned fn: (params, ref, que) -> outputs with rays restored to the
+    unsharded [qn, rn, ...] layout. The caller must pass rn divisible by
+    (n_devices * ray_batch_num) after internal padding — handled here.
+    """
+    key = (renderer.cfg, tuple(keep_keys), mesh.shape_tuple)
+    if key in _SHARDED_RENDER_CACHE:
+        return _SHARDED_RENDER_CACHE[key]
+
+    c = renderer.cfg
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def impl(params, ref, que):
+        # scene encoding: replicated (cheap relative to rays at scale)
+        ray_feats_raw = renderer.apply(
+            params, ref, method=NeurayRenderer.initialize_ray_feats)
+        img_feats, ray_feats = renderer.apply(
+            params, ref, ray_feats_raw, method=NeurayRenderer.encode_scene)
+        ref_c = dict(ref)
+        ref_c["img_feats"] = img_feats
+        ref_c["ray_feats"] = ray_feats
+
+        qn, rn, _ = que["coords"].shape
+        # pad rays to n_dev * chunk multiple, reshape to [n_dev, ...]
+        per_dev = -(-rn // (n_dev * c.ray_batch_num)) * c.ray_batch_num
+        pad = n_dev * per_dev - rn
+        coords = jnp.pad(que["coords"], ((0, 0), (0, pad), (0, 0)),
+                         mode="edge")
+        coords = coords.reshape(qn, n_dev, per_dev, 2).transpose(1, 0, 2, 3)
+
+        que_base = {k: v for k, v in que.items() if k != "coords"}
+
+        def render_shard(coords_shard):
+            # coords_shard [1, qn, per_dev, 2] (leading mesh dim of size 1)
+            chunks, _ = chunk_coords(coords_shard[0], c.ray_batch_num)
+
+            def render_one(cc):
+                q = dict(que_base)
+                q["coords"] = cc
+                out = renderer.apply(params, ref_c, q, False,
+                                     method=NeurayRenderer.render_chunk)
+                return {k: v for k, v in out.items() if k in keep_keys}
+
+            outs = jax.lax.map(render_one, chunks)
+            # [n_chunks, qn, chunk, ...] -> [1, qn, per_dev, ...]
+            outs = jax.tree.map(
+                lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                    x.shape[1], -1, *x.shape[3:])[None], outs)
+            return outs
+
+        outs = jax.shard_map(
+            render_shard, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis),
+            check_vma=False)(coords)
+        # [n_dev, qn, per_dev, ...] -> [qn, rn, ...]
+        outs = jax.tree.map(
+            lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                x.shape[1], -1, *x.shape[3:])[:, :rn], outs)
+        return outs
+
+    fn = jax.jit(impl)
+    _SHARDED_RENDER_CACHE[key] = fn
+    return fn
+
+
+# ------------------------- DP training step -------------------------
+
+
+def make_dp_train_step(renderer: NeurayRenderer, optimizer,
+                       loss_fn: Callable[[Dict, Dict], Dict],
+                       mesh: Mesh):
+    """Scene-level data-parallel train step under shard_map.
+
+    loss_fn(outputs, batch_elem) -> dict of scalar losses (summed for
+    the total). Batch pytrees carry a leading device axis of size
+    n_devices; grads are psum-averaged over the mesh.
+
+    Returns jitted fn: (params, opt_state, batch, rng)
+      -> (params, opt_state, metrics dict)
+    """
+    axis = mesh.axis_names[0]
+
+    def local_loss(params, batch_elem, rng):
+        outputs = renderer.apply(
+            params, batch_elem["ref"], batch_elem["que"], True,
+            batch_elem.get("depth_loss_coords"),
+            rngs={"sample": rng})
+        losses = loss_fn(outputs, batch_elem)
+        total = sum(jnp.mean(v) for k, v in losses.items()
+                    if k.startswith("loss"))
+        return total, losses
+
+    def step_shard(params, opt_state, batch, rng):
+        # strip the leading size-1 shard axis
+        batch_elem = jax.tree.map(lambda x: x[0], batch)
+        my_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        (total, losses), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(params, batch_elem, my_rng)
+        grads = jax.lax.pmean(grads, axis)
+        total = jax.lax.pmean(total, axis)
+        losses = jax.lax.pmean(
+            jax.tree.map(jnp.mean, losses), axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: p + u, params, updates)
+        return params, opt_state, {**losses, "loss_total": total}
+
+    def impl(params, opt_state, batch, rng):
+        return jax.shard_map(
+            step_shard, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)(params, opt_state, batch, rng)
+
+    return jax.jit(impl, donate_argnums=(0, 1))

@@ -1,0 +1,178 @@
+"""Rendering CLI: feed-forward (gen) and finetuned (ft) novel-view
+rendering with resume-on-rerun.
+
+Parity: reference render.py (flags :196-214, render_video_gen :68-153,
+render_video_ft :155-194; save conventions {qi}-nr.jpg / {qi}-nr_fine.jpg
++ GT dump for eval poses).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+import cv2
+
+import jax
+import jax.numpy as jnp
+
+from neuray_tpu.utils.config import load_cfg
+from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
+from neuray_tpu.data.database import parse_database_name, get_database_split
+from neuray_tpu.data.imgs_info import (
+    build_imgs_info, build_render_imgs_info, imgs_info_slice)
+from neuray_tpu.data.view_select import select_working_views_db
+from neuray_tpu.data.render_poses import get_render_poses
+from neuray_tpu.train.metrics import color_map_backward
+
+
+def prepare_render_info(database, pose_type, pose_fn, use_depth):
+    """(reference render.py:18-47)"""
+    if pose_type.startswith("eval"):
+        split_name = "test" if use_depth else "test_all"
+        ref_ids, render_ids = get_database_split(database, split_name)
+        que_Ks = np.asarray([database.get_K(i) for i in render_ids],
+                            np.float32)
+        que_poses = np.asarray([database.get_pose(i) for i in render_ids],
+                               np.float32)
+        que_shapes = np.asarray(
+            [database.get_image(i).shape[:2] for i in render_ids])
+        que_depth_ranges = np.asarray(
+            [database.get_depth_range(i) for i in render_ids], np.float32)
+    else:
+        ref_ids = (database.get_img_ids(check_depth_exist=True)
+                   if use_depth else database.get_img_ids())
+        que_poses = get_render_poses(database, pose_type, pose_fn)
+        k0 = database.get_img_ids()[0]
+        que_Ks = np.tile(database.get_K(k0)[None], (len(que_poses), 1, 1))
+        h, w = database.get_image(k0).shape[:2]
+        que_shapes = np.tile(np.asarray([[h, w]]), (len(que_poses), 1))
+        ranges = np.asarray(
+            [database.get_depth_range(i) for i in database.get_img_ids()],
+            np.float32)
+        near = np.min(ranges[:, 0])
+        far = np.max(ranges[:, 1])
+        que_depth_ranges = np.tile(
+            np.asarray([[near, far]], np.float32), (len(que_poses), 1))
+        render_ids = None
+    return ref_ids, render_ids, que_poses, que_Ks, que_shapes, \
+        que_depth_ranges
+
+
+def save_renderings(output_dir, qi, render_info, h, w):
+    """(reference render.py:49-57)"""
+    suffix2name = {"nr": "nr", "nr_fine": "nr_fine", "dr": "dr",
+                   "dr_fine": "dr_fine"}
+    for suffix, name in suffix2name.items():
+        key = f"pixel_colors_{suffix}"
+        if key in render_info:
+            img = color_map_backward(
+                np.asarray(render_info[key]).reshape(h, w, 3))
+            cv2.imwrite(f"{output_dir}/{qi}-{name}.jpg", img[:, :, ::-1])
+
+
+def save_depth(output_dir, qi, render_info, h, w, depth_range):
+    """(reference render.py:58-66) inverse-depth visualization."""
+    for key, name in (("render_depth", "depth"),
+                      ("render_depth_fine", "depth_fine")):
+        if key in render_info:
+            depth = np.asarray(render_info[key]).reshape(h, w)
+            near, far = depth_range
+            inv = 1.0 / np.maximum(depth, 1e-5)
+            inv = (inv - 1 / far) / max(1 / near - 1 / far, 1e-8)
+            img = (np.clip(inv, 0, 1) * 255).astype(np.uint8)
+            cv2.imwrite(f"{output_dir}/{qi}-{name}.png", img)
+
+
+def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
+                     render_depth, ray_num, rb, re):
+    cfg = load_cfg(cfg_fn)
+    render_cfg = RenderConfig.from_cfg(
+        {**cfg, "ray_batch_num": ray_num, "render_depth": render_depth})
+    renderer = NeurayRenderer(render_cfg)
+
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(f'data/model/{cfg["name"]}/ckpt_best')
+    if not os.path.exists(ckpt_dir):
+        ckpt_dir = os.path.abspath(f'data/model/{cfg["name"]}/ckpt')
+    params = ocp.PyTreeCheckpointer().restore(ckpt_dir)["params"]
+
+    database = parse_database_name(database_name)
+    use_depth = render_cfg.init_net_type == "depth"
+    (ref_ids_all, render_ids, que_poses, que_Ks, que_shapes,
+     que_depth_ranges) = prepare_render_info(
+        database, pose_type, pose_fn, use_depth)
+    ref_ids_list = select_working_views_db(
+        database, ref_ids_all, que_poses, 8)
+
+    output_dir = (f'data/render/{database_name.replace("/", "_")}/'
+                  f'{cfg["name"]}-{pose_type}')
+    Path(output_dir).mkdir(exist_ok=True, parents=True)
+
+    mesh = make_mesh()
+    keep = ["pixel_colors_nr", "pixel_colors_nr_fine"]
+    if render_depth:
+        keep += ["render_depth", "render_depth_fine"]
+    render_fn = make_sharded_render_fn(renderer, mesh, tuple(keep))
+
+    re = len(que_poses) if re == -1 else min(re, len(que_poses))
+    for qi in range(rb, re):
+        if os.path.exists(f"{output_dir}/{qi}-nr_fine.jpg"):
+            continue
+        ref_ids = ref_ids_list[qi]
+        ref_info = build_imgs_info(database, list(ref_ids), 16, True,
+                                   replace_none_depth=True)
+        que_info = build_render_imgs_info(
+            que_poses[qi], que_Ks[qi], que_shapes[qi], que_depth_ranges[qi])
+        h, w = que_info.pop("shape")
+        ref = jax.tree.map(jnp.asarray, ref_info)
+        que = jax.tree.map(jnp.asarray, que_info)
+        out = render_fn(params, ref, que)
+        save_renderings(output_dir, qi, out, h, w)
+        if render_depth:
+            save_depth(output_dir, qi, out, h, w, que_depth_ranges[qi])
+        print(f"rendered {qi + 1}/{re}", flush=True)
+
+    # dump GT for eval poses (reference render.py:149-153)
+    if pose_type.startswith("eval"):
+        gt_dir = f'data/render/{database_name.replace("/", "_")}/gt'
+        Path(gt_dir).mkdir(exist_ok=True, parents=True)
+        for qi, render_id in enumerate(render_ids):
+            if qi < rb or qi >= re:
+                continue
+            img = database.get_image(render_id)
+            cv2.imwrite(f"{gt_dir}/{qi}.jpg", img[:, :, ::-1])
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--database_name", type=str,
+                        default="nerf_synthetic/lego/black_800")
+    parser.add_argument("--cfg", type=str,
+                        default="configs/gen/neuray_gen_depth.yaml")
+    parser.add_argument("--pose_type", type=str, default="eval")
+    parser.add_argument("--pose_fn", type=str, default=None)
+    parser.add_argument("--rb", type=int, default=0)
+    parser.add_argument("--re", type=int, default=-1)
+    parser.add_argument("--render_type", type=str, default="gen")
+    parser.add_argument("--ray_num", type=int, default=4096)
+    parser.add_argument("--depth", action="store_true")
+    flags = parser.parse_args()
+
+    if flags.render_type == "gen":
+        render_video_gen(flags.database_name, flags.cfg, flags.pose_type,
+                         flags.pose_fn, flags.depth, flags.ray_num,
+                         flags.rb, flags.re)
+    elif flags.render_type == "ft":
+        from neuray_tpu.models.ft import render_video_ft
+        render_video_ft(flags.database_name, flags.cfg, flags.pose_type,
+                        flags.pose_fn, flags.depth, flags.ray_num,
+                        flags.rb, flags.re)
+    else:
+        raise NotImplementedError(flags.render_type)
+
+
+if __name__ == "__main__":
+    main()

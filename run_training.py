@@ -1,0 +1,17 @@
+"""Training CLI (parity: reference run_training.py)."""
+import argparse
+
+from neuray_tpu.utils.config import load_cfg
+from neuray_tpu.train.trainer import Trainer
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", type=str,
+                        default="configs/train/gen/neuray_gen_depth_train.yaml")
+    flags = parser.parse_args()
+    Trainer(load_cfg(flags.cfg)).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# This box pre-imports jax with JAX_PLATFORMS=axon (remote TPU), so the
+# env var above may be ignored — force the platform through the config.
+jax.config.update("jax_platforms", "cpu")
+
 # XLA-CPU compiles dominate test wall time; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

@@ -1,0 +1,102 @@
+"""Finetune-path test: FT renderer from scratch (random ray feats) on a
+fabricated nerf_synthetic scene — one train step must run and update
+both ray_feats and network params."""
+import json
+
+import numpy as np
+import cv2
+import jax
+import optax
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fake_scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    scene = root / "nerf_synthetic" / "toy"
+    rng = np.random.RandomState(0)
+
+    def make_frames(split, names):
+        (scene / split).mkdir(parents=True, exist_ok=True)
+        frames = []
+        for k, name in enumerate(names):
+            img = (rng.rand(32, 32, 4) * 255).astype(np.uint8)
+            img[:, :, 3] = 255
+            cv2.imwrite(str(scene / split / f"{name}.png"), img)
+            # look-at-origin cameras on a circle
+            ang = 2 * np.pi * k / max(len(names), 1)
+            c = np.asarray([np.cos(ang) * 4, np.sin(ang) * 4, 1.5])
+            z = -c / np.linalg.norm(c)
+            up = np.asarray([0.0, 0.0, 1.0])
+            x = np.cross(up, z)
+            x /= np.linalg.norm(x)
+            y = np.cross(z, x)
+            R = np.stack([x, y, z], 0)
+            c2w = np.eye(4)
+            # transforms json stores cam->world OpenGL; invert our
+            # OpenCV world->cam and flip
+            flip = np.diag([1, -1, -1])
+            R_gl = (flip @ R)
+            c2w[:3, :3] = R_gl.T
+            c2w[:3, 3] = c
+            frames.append({"file_path": f"./{split}/{name}",
+                           "transform_matrix": c2w.tolist()})
+        with open(scene / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.69, "frames": frames}, f)
+
+    make_frames("train", [f"r_{i}" for i in range(10)])
+    make_frames("val", ["r_39", "r_2", "r_94", "r_62", "r_23", "r_36"])
+    make_frames("test", ["r_0"])
+    return str(root)
+
+
+def test_ft_train_step(fake_scene, monkeypatch):
+    from neuray_tpu.data import database as D
+    monkeypatch.setattr(D, "DATA_ROOT", fake_scene)
+    from neuray_tpu.models.ft import FtRenderer
+    from neuray_tpu.train.losses import build_losses
+
+    cfg = {
+        "database_name": "nerf_synthetic/toy/black_800",
+        "database_split": "val_all",
+        "gen_cfg": None,
+        "use_validation": True,
+        "neighbor_view_num": 4,
+        "train_ray_num": 32,
+        "ray_feats_res": [8, 8],
+        "ray_feats_dim": 32,
+        "use_self_hit_prob": True,
+        "use_hierarchical_sampling": True,
+        "depth_sample_num": 8,
+        "fine_depth_sample_num": 8,
+        "ray_batch_num": 32,
+        "ray_mask_point_num": 4,
+        "dist_decoder_cfg": {"use_vis": False},
+        "fine_dist_decoder_cfg": {"use_vis": False},
+    }
+    ft = FtRenderer(cfg)
+    assert len(ft.ref_ids) == 10
+
+    params = ft.init_params()
+    assert params["ray_feats"].shape == (10, 8, 8, 32)
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    loss_fn = build_losses({"loss": ["render", "consist"],
+                            "use_ray_mask": True,
+                            "use_nr_fine_loss": True})
+    step_fn = ft.make_train_step(optimizer, loss_fn)
+
+    rng_np = np.random.RandomState(0)
+    ray_feats_before = np.asarray(params["ray_feats"]).copy()
+    for i in range(2):
+        que_i, ref_idx = ft.sample_train_indices(rng_np)
+        que = ft._build_que_train(ref_idx, que_i, rng_np)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, np.asarray(ref_idx), que,
+            np.asarray(que_i), jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["loss_total"]))
+        assert "loss_prob" in metrics  # consistency loss active
+    # the gathered views' ray feats must have been updated
+    after = np.asarray(params["ray_feats"])
+    assert np.abs(after - ray_feats_before).max() > 0

@@ -1,0 +1,76 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded render
+equals unsharded render; DP train step runs, syncs, and learns."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig, \
+    render_full
+from neuray_tpu.parallel.sharding import (
+    make_mesh, make_sharded_render_fn, make_dp_train_step)
+from neuray_tpu.train.losses import build_losses
+from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+
+CFG = RenderConfig(use_hierarchical_sampling=True, depth_sample_num=8,
+                   fine_depth_sample_num=8, ray_batch_num=16,
+                   use_vis=False, fine_use_vis=False, ray_mask_point_num=4,
+                   use_depth_loss=True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(0)
+    ref = jax.tree.map(jnp.asarray, make_sphere_scene(rng, 3, 32, 32))
+    que_np = make_query(rng, 32, 32, 64)
+    que = jax.tree.map(jnp.asarray, que_np)
+    renderer = NeurayRenderer(CFG)
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ref, que, True)
+    return renderer, params, ref, que
+
+
+def test_sharded_render_matches_unsharded(setup):
+    renderer, params, ref, que = setup
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    que_eval = {k: v for k, v in que.items() if k != "imgs"}
+    sharded = make_sharded_render_fn(renderer, mesh)(
+        params, ref, que_eval)
+    plain = render_full(renderer, params, ref, que_eval)
+    np.testing.assert_allclose(
+        np.asarray(sharded["pixel_colors_nr_fine"]),
+        np.asarray(plain["pixel_colors_nr_fine"]), rtol=1e-4, atol=1e-5)
+
+
+def test_dp_train_step_learns(setup):
+    renderer, params, ref, que = setup
+    mesh = make_mesh(8)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    loss_fn = build_losses({"loss": ["render", "depth"],
+                            "use_ray_mask": True,
+                            "use_nr_fine_loss": True})
+    step_fn = make_dp_train_step(renderer, optimizer, loss_fn, mesh)
+
+    def one_scene(seed):
+        r = np.random.RandomState(seed)
+        sref = make_sphere_scene(r, 3, 32, 32)
+        sref["true_depth"] = sref["depth"]
+        sque = make_query(r, 32, 32, 64)
+        coords = (r.rand(3, 8, 2) * 31).astype(np.float32)
+        return {"ref": sref, "que": sque, "depth_loss_coords": coords,
+                "is_gso": np.zeros([], np.float32)}
+
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs),
+                         *[one_scene(i) for i in range(8)])
+    losses = []
+    for i in range(3):
+        params, opt_state, metrics = step_fn(
+            params, opt_state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss_total"]))
+    assert np.isfinite(losses).all()
+    # same batch 3x with adam at 1e-3: loss must drop
+    assert losses[-1] < losses[0]

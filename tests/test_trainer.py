@@ -1,0 +1,58 @@
+"""Trainer smoke test: a few DP steps on synthetic scenes + checkpoint
+resume round-trip."""
+import os
+
+import numpy as np
+import pytest
+
+
+def make_cfg(tmpdir, total_step=3):
+    return {
+        "name": "smoke",
+        "total_step": total_step,
+        "train_log_step": 2,
+        "val_interval": 1000000,  # skip validation in the smoke test
+        "save_interval": 2,
+        "lr_type": "exp_decay",
+        "lr_cfg": {"lr_init": 1e-3, "decay_step": 1000, "decay_rate": 0.5},
+        "loss": ["render", "depth"],
+        "use_nr_fine_loss": True,
+        "val_metric": ["psnr_ssim"],
+        "key_metric_name": "psnr_nr_fine",
+        "train_dataset_type": "synthetic",
+        "train_dataset_cfg": {"rfn": 3, "h": 32, "w": 32,
+                              "train_ray_num": 32,
+                              "depth_loss_coords_num": 8},
+        "val_set_list": [],
+        "output_root": str(tmpdir),
+        "n_devices": 2,
+        # renderer cfg (flat, reference-style)
+        "use_hierarchical_sampling": True,
+        "depth_sample_num": 8,
+        "fine_depth_sample_num": 8,
+        "ray_batch_num": 32,
+        "ray_mask_point_num": 4,
+        "use_depth_loss": True,
+        "dist_decoder_cfg": {"use_vis": False},
+        "fine_dist_decoder_cfg": {"use_vis": False},
+    }
+
+
+def test_trainer_runs_and_resumes(tmp_path):
+    from neuray_tpu.train.trainer import Trainer
+    cfg = make_cfg(tmp_path, total_step=3)
+    trainer = Trainer(cfg)
+    params = trainer.run()
+    assert os.path.exists(f"{trainer.model_dir}/ckpt")
+    assert os.path.exists(f"{trainer.model_dir}/train.txt")
+
+    # resume: a second trainer continues from step 3 to 5
+    cfg2 = make_cfg(tmp_path, total_step=5)
+    trainer2 = Trainer(cfg2)
+    params2 = trainer2.run()
+    with open(f"{trainer2.model_dir}/train.txt") as f:
+        log = f.read()
+    assert "step 4" in log
+    leaves = [np.asarray(x) for x in
+              __import__("jax").tree.leaves(params2)]
+    assert all(np.isfinite(l).all() for l in leaves)
