@@ -5,6 +5,10 @@ samples, 8 reference views — the reference's neuray_gen_depth render
 workload, reference configs/gen/neuray_gen_depth.yaml + render.py:205)
 and reports throughput as ONE JSON line.
 
+The frame is rendered in ray segments of ~64k rays per device call:
+single >60s programs get killed by the axon TPU tunnel (observed worker
+crashes), and segmenting costs <2% dispatch overhead.
+
 vs_baseline is measured against an ESTIMATED reference throughput of
 1e4 rays/s/GPU (order-of-magnitude for the PyTorch renderer at
 ray_batch_num 4096-8192 on a single accelerator; the reference repo
@@ -13,7 +17,6 @@ number when one exists.
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -23,6 +26,7 @@ ESTIMATED_REF_RAYS_PER_SEC = 1.0e4
 H = W = 800
 RFN = 8
 RAY_CHUNK = 2048
+SEGMENT = 65536  # rays per device call
 DN = 64
 
 
@@ -40,8 +44,9 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    h, w, rfn, chunk, dn = (H, W, RFN, RAY_CHUNK, DN) if on_tpu else (
-        64, 64, 4, 256, 16)
+    h, w, rfn, chunk, dn, seg = (
+        (H, W, RFN, RAY_CHUNK, DN, SEGMENT) if on_tpu
+        else (64, 64, 4, 256, 16, 1024))
 
     cfg = RenderConfig(
         use_hierarchical_sampling=True, depth_sample_num=dn,
@@ -53,32 +58,44 @@ def main():
     ref = {k: jnp.asarray(v) for k, v in
            make_sphere_scene(rng, rfn, h, w).items()}
     que_np = make_query(rng, h, w, rn=0, full_image=True)
-    que = {k: jnp.asarray(v) for k, v in que_np.items() if k != "imgs"}
+    coords_all = que_np["coords"]
+    n_rays = coords_all.shape[1]
+    que_base = {k: jnp.asarray(v) for k, v in que_np.items()
+                if k not in ("imgs", "coords")}
+
+    # pad rays to a segment multiple so every call has the same shape
+    n_seg = -(-n_rays // seg)
+    pad = n_seg * seg - n_rays
+    coords_all = np.pad(coords_all, ((0, 0), (0, pad), (0, 0)), "edge")
+    segments = [jnp.asarray(coords_all[:, i * seg:(i + 1) * seg])
+                for i in range(n_seg)]
 
     params = renderer.init(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        ref, {**que, "coords": que["coords"][:, :chunk]}, False)
+        ref, {**que_base, "coords": segments[0][:, :chunk]}, False)
 
     render_fn = make_render_fn(
         renderer, keep_keys=("pixel_colors_nr", "pixel_colors_nr_fine"))
 
-    def run_sync():
-        """Render + force a device->host readback: block_until_ready is
-        not a reliable barrier on the experimental axon platform, so we
-        time through an actual transfer of the output image."""
-        out = render_fn(params, ref, que)
-        host = np.asarray(jax.device_get(out["pixel_colors_nr_fine"]))
-        assert np.isfinite(host).all()
-        return host
+    def render_frame():
+        """Full frame via segmented calls; a device->host readback per
+        segment is the synchronization barrier (block_until_ready is
+        unreliable on the experimental axon platform)."""
+        outs = []
+        for coords in segments:
+            out = render_fn(params, ref, dict(que_base, coords=coords))
+            outs.append(np.asarray(
+                jax.device_get(out["pixel_colors_nr_fine"])))
+        img = np.concatenate(outs, axis=1)[:, :n_rays]
+        assert np.isfinite(img).all()
+        return img
 
-    # warmup / compile
-    run_sync()
+    render_frame()  # warmup / compile
 
-    n_rays = que["coords"].shape[1]
     times = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        run_sync()
+        render_frame()
         times.append(time.perf_counter() - t0)
     dt = min(times)
     rays_per_sec = n_rays / dt

@@ -162,10 +162,20 @@ class NeurayRenderer(nn.Module):
         maskf = prj_mask.astype(jnp.float32)
 
         prj_rgb = interpolate_feature_map(ref["imgs"], prj_pts, maskf, h, w)
-        prj_ray_feats = interpolate_feature_map(
-            ref["ray_feats"], prj_pts, maskf, h, w)
-        prj_img_feats = interpolate_feature_map(
-            ref["img_feats"], prj_pts, maskf, h, w)
+        if ref["ray_feats"].shape[1:3] == ref["img_feats"].shape[1:3]:
+            # img_feats and ray_feats live at the same (1/4) resolution in
+            # the gen pipeline: ONE fused 64-ch gather instead of two
+            # (the gather is the HBM-bandwidth hot spot).
+            fused = jnp.concatenate([ref["ray_feats"], ref["img_feats"]],
+                                    axis=-1)
+            out = interpolate_feature_map(fused, prj_pts, maskf, h, w)
+            nf = ref["ray_feats"].shape[-1]
+            prj_ray_feats, prj_img_feats = out[..., :nf], out[..., nf:]
+        else:
+            prj_ray_feats = interpolate_feature_map(
+                ref["ray_feats"], prj_pts, maskf, h, w)
+            prj_img_feats = interpolate_feature_map(
+                ref["img_feats"], prj_pts, maskf, h, w)
 
         def rs(x):
             return x.reshape(rfn, qn, rn, dn, -1)
