@@ -374,9 +374,9 @@ def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
         return _RENDER_FN_CACHE[cache_key]
     c = renderer.cfg
 
-    def impl(params, ref, que):
+    def impl(params, ref, que, src=None):
         ray_feats_raw = renderer.apply(
-            params, ref, method=NeurayRenderer.initialize_ray_feats)
+            params, ref, src, method=NeurayRenderer.initialize_ray_feats)
         img_feats, ray_feats = renderer.apply(
             params, ref, ray_feats_raw, method=NeurayRenderer.encode_scene)
         ref_c = dict(ref)
@@ -403,7 +403,7 @@ def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
     return fn
 
 
-def render_full(renderer: NeurayRenderer, params, ref, que,
+def render_full(renderer: NeurayRenderer, params, ref, que, src=None,
                 keep_keys=_DEFAULT_KEEP):
     """Convenience wrapper over make_render_fn."""
-    return make_render_fn(renderer, keep_keys)(params, ref, que)
+    return make_render_fn(renderer, keep_keys)(params, ref, que, src)

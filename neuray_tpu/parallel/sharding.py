@@ -59,10 +59,10 @@ def make_sharded_render_fn(renderer: NeurayRenderer, mesh: Mesh,
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
 
-    def impl(params, ref, que):
+    def impl(params, ref, que, src=None):
         # scene encoding: replicated (cheap relative to rays at scale)
         ray_feats_raw = renderer.apply(
-            params, ref, method=NeurayRenderer.initialize_ray_feats)
+            params, ref, src, method=NeurayRenderer.initialize_ray_feats)
         img_feats, ray_feats = renderer.apply(
             params, ref, ray_feats_raw, method=NeurayRenderer.encode_scene)
         ref_c = dict(ref)
@@ -132,7 +132,7 @@ def make_dp_train_step(renderer: NeurayRenderer, optimizer,
     def local_loss(params, batch_elem, rng):
         outputs = renderer.apply(
             params, batch_elem["ref"], batch_elem["que"], True,
-            batch_elem.get("depth_loss_coords"),
+            batch_elem.get("depth_loss_coords"), batch_elem.get("src"),
             rngs={"sample": rng})
         losses = loss_fn(outputs, batch_elem)
         total = sum(jnp.mean(v) for k, v in losses.items()

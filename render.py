@@ -23,6 +23,7 @@ from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
 from neuray_tpu.data.database import parse_database_name, get_database_split
 from neuray_tpu.data.imgs_info import (
     build_imgs_info, build_render_imgs_info, imgs_info_slice)
+from neuray_tpu.data.train_dataset import build_src_imgs_info_select
 from neuray_tpu.data.view_select import select_working_views_db
 from neuray_tpu.data.render_poses import get_render_poses
 from neuray_tpu.train.metrics import color_map_backward
@@ -117,19 +118,38 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
         keep += ["render_depth", "render_depth_fine"]
     render_fn = make_sharded_render_fn(renderer, mesh, tuple(keep))
 
+    use_src_imgs = cfg.get("use_src_imgs", False) or \
+        render_cfg.init_net_type == "cost_volume"
+    cv_nn_num = cfg.get("cost_volume_nn_num", 3)
+    pad_interval = cfg.get("ref_pad_interval", 16)
+
     re = len(que_poses) if re == -1 else min(re, len(que_poses))
     for qi in range(rb, re):
         if os.path.exists(f"{output_dir}/{qi}-nr_fine.jpg"):
             continue
         ref_ids = ref_ids_list[qi]
-        ref_info = build_imgs_info(database, list(ref_ids), 16, True,
-                                   replace_none_depth=True)
+        src = None
+        if use_src_imgs:
+            # cost-volume init: the union of refs + their source views
+            # (reference render.py:129-137)
+            union_info, ref_cv_idx, ref_real_idx = \
+                build_src_imgs_info_select(database, ref_ids, ref_ids_all,
+                                           cv_nn_num, pad_interval)
+            ref_info = imgs_info_slice(union_info, ref_real_idx)
+            ref_info["nn_ids"] = ref_cv_idx.astype(np.int64)
+            src = jax.tree.map(jnp.asarray, {
+                k: union_info[k]
+                for k in ("imgs", "poses", "Ks", "depth_range")})
+        else:
+            ref_info = build_imgs_info(database, list(ref_ids),
+                                       pad_interval, True,
+                                       replace_none_depth=True)
         que_info = build_render_imgs_info(
             que_poses[qi], que_Ks[qi], que_shapes[qi], que_depth_ranges[qi])
         h, w = que_info.pop("shape")
         ref = jax.tree.map(jnp.asarray, ref_info)
         que = jax.tree.map(jnp.asarray, que_info)
-        out = render_fn(params, ref, que)
+        out = render_fn(params, ref, que, src)
         save_renderings(output_dir, qi, out, h, w)
         if render_depth:
             save_depth(output_dir, qi, out, h, w, que_depth_ranges[qi])
