@@ -137,3 +137,63 @@ def masked_mean_var(feats: jnp.ndarray, mask: jnp.ndarray, axis: int):
     mean = jnp.sum(feats * mask, axis=axis, keepdims=True) / mask_sum
     var = jnp.sum((feats - mean) ** 2 * mask, axis=axis, keepdims=True) / mask_sum
     return mean, var
+
+
+# ---------------------------------------------------------------------
+# Quad-packed gather: the TPU gather is index-rate bound (~17ms per
+# 1M-point tap on v5e) and nearly channel-width insensitive, so packing
+# the 2x2 bilinear neighborhood into one 4C-channel map turns 4 gathers
+# into 1 (~3x faster interpolation, measured). Border semantics only —
+# the render hot path uses border everywhere.
+# ---------------------------------------------------------------------
+
+def make_quad_map(feats: jnp.ndarray) -> jnp.ndarray:
+    """Pack each pixel's 2x2 neighborhood into channels.
+
+    feats [n, fh, fw, c] -> quad [n, fh-1, fw-1, 4c] with channel blocks
+    (y0x0, y0x1, y1x0, y1x1). Built once per scene (4x HBM for the map,
+    negligible vs per-chunk gather traffic).
+    """
+    return jnp.concatenate([
+        feats[:, :-1, :-1], feats[:, :-1, 1:],
+        feats[:, 1:, :-1], feats[:, 1:, 1:]], axis=-1)
+
+
+def gather_bilinear_quad(quad: jnp.ndarray, points: jnp.ndarray,
+                         h: int, w: int,
+                         align_corners: bool) -> jnp.ndarray:
+    """Border-clamped bilinear sampling from a quad-packed map.
+
+    quad [n, fh-1, fw-1, 4c] (from make_quad_map); points [n, pn, 2] in
+    the (h, w) frame. Exactly matches
+    grid_sample_nhwc(feats, points, h, w, 'border', align_corners).
+    """
+    n = quad.shape[0]
+    fh, fw = quad.shape[1] + 1, quad.shape[2] + 1
+    c = quad.shape[-1] // 4
+    x_norm = points[..., 0] / (w - 1.0) * 2.0 - 1.0
+    y_norm = points[..., 1] / (h - 1.0) * 2.0 - 1.0
+    if align_corners:
+        ix = (x_norm + 1.0) / 2.0 * (fw - 1.0)
+        iy = (y_norm + 1.0) / 2.0 * (fh - 1.0)
+    else:
+        ix = ((x_norm + 1.0) * fw - 1.0) / 2.0
+        iy = ((y_norm + 1.0) * fh - 1.0) / 2.0
+
+    # border clamp + anchor in [0, size-2]; t in [0, 1] reproduces the
+    # clamped-coordinate bilinear exactly
+    ix = jnp.clip(ix, 0.0, fw - 1.0)
+    iy = jnp.clip(iy, 0.0, fh - 1.0)
+    x0 = jnp.clip(jnp.floor(ix), 0.0, fw - 2.0)
+    y0 = jnp.clip(jnp.floor(iy), 0.0, fh - 2.0)
+    tx = (ix - x0)[..., None]
+    ty = (iy - y0)[..., None]
+    idx = (y0 * (fw - 1) + x0).astype(jnp.int32)             # n,pn
+
+    flat = quad.reshape(n, (fh - 1) * (fw - 1), 4 * c)
+    tap = jnp.take_along_axis(flat, idx[..., None], axis=1)  # n,pn,4c
+    f00, f01, f10, f11 = (tap[..., :c], tap[..., c:2 * c],
+                          tap[..., 2 * c:3 * c], tap[..., 3 * c:])
+    top = f00 * (1 - tx) + f01 * tx
+    bot = f10 * (1 - tx) + f11 * tx
+    return top * (1 - ty) + bot * ty

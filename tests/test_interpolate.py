@@ -86,3 +86,22 @@ def test_masked_mean_var(rng):
                                    atol=1e-5)
         np.testing.assert_allclose(var[b, 0], x[b, sel].var(0), rtol=1e-3,
                                    atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("scale", [1, 4])
+def test_quad_gather_matches_grid_sample(rng, align_corners, scale):
+    from neuray_tpu.ops.interpolate import make_quad_map, \
+        gather_bilinear_quad
+    n, h, w, c = 2, 32, 40, 5
+    fh, fw = h // scale, w // scale
+    feats = rng.randn(n, fh, fw, c).astype(np.float32)
+    points = (rng.rand(n, 200, 2) * [w + 10, h + 10] - [5, 5]
+              ).astype(np.float32)
+    quad = make_quad_map(jnp.asarray(feats))
+    ours = np.asarray(gather_bilinear_quad(
+        quad, jnp.asarray(points), h, w, align_corners))
+    oracle = np.asarray(grid_sample_nhwc(
+        jnp.asarray(feats), jnp.asarray(points), h, w, "border",
+        align_corners))
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
