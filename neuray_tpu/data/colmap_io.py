@@ -90,6 +90,14 @@ def _read(f, fmt: str):
 
 
 def read_cameras_binary(path: str) -> Dict[int, Camera]:
+    from neuray_tpu.data import colmap_native
+    native = colmap_native.read_cameras_binary_native(path)
+    if native is not None:
+        return native
+    return read_cameras_binary_py(path)
+
+
+def read_cameras_binary_py(path: str) -> Dict[int, Camera]:
     cams = {}
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
@@ -102,6 +110,14 @@ def read_cameras_binary(path: str) -> Dict[int, Camera]:
 
 
 def read_images_binary(path: str) -> Dict[int, Image]:
+    from neuray_tpu.data import colmap_native
+    native = colmap_native.read_images_binary_native(path)
+    if native is not None:
+        return native
+    return read_images_binary_py(path)
+
+
+def read_images_binary_py(path: str) -> Dict[int, Image]:
     images = {}
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
@@ -128,6 +144,14 @@ def read_images_binary(path: str) -> Dict[int, Image]:
 
 
 def read_points3d_binary(path: str) -> Dict[int, Point3D]:
+    from neuray_tpu.data import colmap_native
+    native = colmap_native.read_points3d_binary_native(path)
+    if native is not None:
+        return native
+    return read_points3d_binary_py(path)
+
+
+def read_points3d_binary_py(path: str) -> Dict[int, Point3D]:
     pts = {}
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")

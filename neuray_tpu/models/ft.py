@@ -207,7 +207,7 @@ class FtRenderer:
                 ref_c = dict(ref)
                 ref_c["img_feats"] = img_feats
                 ref_c["ray_feats"] = ray_feats
-                ref_c = NeurayRenderer.build_gather_cache(ref_c)
+                ref_c = renderer.build_gather_cache(ref_c)
 
                 que_c = dict(que)
                 if use_self:
@@ -272,7 +272,7 @@ def make_ft_render_fn(ft: FtRenderer, mesh=None,
         ref_c = dict(ref)
         ref_c["img_feats"] = img_feats
         ref_c["ray_feats"] = ray_feats
-        ref_c = NeurayRenderer.build_gather_cache(ref_c)
+        ref_c = renderer.build_gather_cache(ref_c)
 
         from neuray_tpu.models.renderer import chunk_coords
         chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)

@@ -134,19 +134,23 @@ class NeurayRenderer(nn.Module):
             ray_feats_raw, img_feats).astype(jnp.float32)
         return img_feats, ray_feats
 
-    @staticmethod
-    def build_gather_cache(ref: Dict[str, jnp.ndarray]):
+    def build_gather_cache(self, ref: Dict[str, jnp.ndarray]):
         """Add quad-packed maps for single-gather bilinear sampling.
 
         Only valid when ray/img feature maps share a resolution (the gen
         pipeline); callers with odd-resolution ray feats (FT from
-        scratch) fall back to the plain gathers automatically.
+        scratch) fall back to the plain gathers automatically. Under
+        use_bf16 the quad maps are stored bf16 (halves gather traffic;
+        the downstream MLPs run bf16 anyway).
         """
         ref = dict(ref)
         if ref["ray_feats"].shape[1:3] == ref["img_feats"].shape[1:3]:
-            ref["rgb_quad"] = make_quad_map(ref["imgs"])
-            ref["feats_quad"] = make_quad_map(jnp.concatenate(
-                [ref["ray_feats"], ref["img_feats"]], axis=-1))
+            dt = jnp.bfloat16 if self.cfg.use_bf16 else None
+            def cast(x):
+                return x.astype(dt) if dt is not None else x
+            ref["rgb_quad"] = make_quad_map(cast(ref["imgs"]))
+            ref["feats_quad"] = make_quad_map(cast(jnp.concatenate(
+                [ref["ray_feats"], ref["img_feats"]], axis=-1)))
         return ref
 
     # ---------------- per-chunk rendering ----------------
@@ -417,7 +421,7 @@ def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
         ref_c = dict(ref)
         ref_c["img_feats"] = img_feats
         ref_c["ray_feats"] = ray_feats
-        ref_c = NeurayRenderer.build_gather_cache(ref_c)
+        ref_c = renderer.build_gather_cache(ref_c)
 
         chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)
 

@@ -68,7 +68,7 @@ def make_sharded_render_fn(renderer: NeurayRenderer, mesh: Mesh,
         ref_c = dict(ref)
         ref_c["img_feats"] = img_feats
         ref_c["ray_feats"] = ray_feats
-        ref_c = NeurayRenderer.build_gather_cache(ref_c)
+        ref_c = renderer.build_gather_cache(ref_c)
 
         qn, rn, _ = que["coords"].shape
         # pad rays to n_dev * chunk multiple, reshape to [n_dev, ...]

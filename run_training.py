@@ -2,7 +2,6 @@
 import argparse
 
 from neuray_tpu.utils.config import load_cfg
-from neuray_tpu.train.trainer import Trainer
 
 
 def main():
@@ -10,7 +9,14 @@ def main():
     parser.add_argument("--cfg", type=str,
                         default="configs/train/gen/neuray_gen_depth_train.yaml")
     flags = parser.parse_args()
-    Trainer(load_cfg(flags.cfg)).run()
+    cfg = load_cfg(flags.cfg)
+    if (cfg.get("network") == "neuray_ft"
+            or cfg.get("train_dataset_type") == "ft"):
+        from neuray_tpu.train.ft_trainer import FtTrainer
+        FtTrainer(cfg).run()
+    else:
+        from neuray_tpu.train.trainer import Trainer
+        Trainer(cfg).run()
 
 
 if __name__ == "__main__":
