@@ -65,11 +65,14 @@ class MixtureLogisticsDistDecoder(nn.Module):
 
     def __call__(self, feats):
         """feats [..., feats_dim] -> (mean [..,2], var [..,2],
-        vis [..,1] | None, aw [..,1])."""
-        mean = self.mean_decoder(feats)
-        var = self.var_decoder(feats)
-        aw = self.aw_decoder(feats)
-        vis = self.vis_decoder(feats) if self.use_vis else None
+        vis [..,1] | None, aw [..,1]); outputs are f32 regardless of
+        the compute dtype (the CDF math downstream needs f32)."""
+        f32 = jnp.float32
+        mean = self.mean_decoder(feats).astype(f32)
+        var = self.var_decoder(feats).astype(f32)
+        aw = self.aw_decoder(feats).astype(f32)
+        vis = (self.vis_decoder(feats).astype(f32)
+               if self.use_vis else None)
         return mean, var, vis, aw
 
     def predict_mean(self, feats):

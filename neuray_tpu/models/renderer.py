@@ -99,14 +99,15 @@ class NeurayRenderer(nn.Module):
         self.vis_encoder = name2vis_encoder[c.vis_encoder_type](
             dtype=dt, name="vis_encoder")
         self.dist_decoder = name2dist_decoder[c.dist_decoder_type](
-            {"use_vis": c.use_vis}, name="dist_decoder")
+            {"use_vis": c.use_vis}, dtype=dt, name="dist_decoder")
         self.agg_net = name2agg_net[c.agg_net_type](
             {"neuray_dim": c.neuray_dim,
              "sample_num": c.depth_sample_num},
             dtype=dt, name="agg_net")
         if c.use_hierarchical_sampling:
             self.fine_dist_decoder = name2dist_decoder[c.dist_decoder_type](
-                {"use_vis": c.fine_use_vis}, name="fine_dist_decoder")
+                {"use_vis": c.fine_use_vis}, dtype=dt,
+                name="fine_dist_decoder")
             self.fine_agg_net = name2agg_net[c.agg_net_type](
                 {"neuray_dim": c.neuray_dim,
                  "sample_num": c.fine_depth_sample_num},
