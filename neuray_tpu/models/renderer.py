@@ -337,8 +337,13 @@ class NeurayRenderer(nn.Module):
                 que_depth, jax.lax.stop_gradient(outputs["hit_prob_nr"]),
                 que["depth_range"], c.fine_depth_sample_num, is_train, rng)
             if c.fine_depth_use_all:
-                fine_depth = jnp.concatenate([que_depth, fine_depth], -1)
-            fine_depth = jnp.sort(fine_depth, -1)
+                fine_depth = jnp.sort(
+                    jnp.concatenate([que_depth, fine_depth], -1), -1)
+            elif is_train:
+                # random u -> unordered samples; XLA sort on TPU is slow,
+                # so skip it in eval where the deterministic stratified
+                # CDF inversion is already monotone (exact no-op there).
+                fine_depth = jnp.sort(fine_depth, -1)
             fine_out = self._render_by_depth(
                 fine_depth, que, ref, is_train, True)
             for k, v in fine_out.items():
