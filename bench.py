@@ -25,7 +25,7 @@ ESTIMATED_REF_RAYS_PER_SEC = 1.0e4
 
 H = W = 800
 RFN = 8
-RAY_CHUNK = 2048
+RAY_CHUNK = 1024
 SEGMENT = 163840  # rays per device call (~21s/call — safely under the ~60s axon kill)
 DN = 64
 
