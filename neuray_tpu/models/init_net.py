@@ -75,8 +75,15 @@ def get_diff_feats(imgs, depth_norm, depth_range, poses, Ks):
     pts3d = depth2pts3d(depth, Ks, poses)                    # rfn,h*w,3
     _, pts2d, pts_dpt_prj, valid_mask = project_points_ref_views(
         poses, Ks, h, w, pts3d.reshape(-1, 3))               # rfn, rfn*h*w
-    pts_dpt_int = grid_sample_nhwc(depth, pts2d, h, w, "border", True)
-    pts_rgb_int = grid_sample_nhwc(imgs, pts2d, h, w, "border", True)
+    # rfn^2*h*w points x 2 maps x 4 taps is the training-step hot spot;
+    # quad-pack depth+rgb into one map -> ONE gather (8x fewer taps).
+    # Everything here is a pure function of the input data (no params
+    # upstream), so no gradients flow through these gathers.
+    from neuray_tpu.ops.interpolate import (
+        make_quad_map, gather_bilinear_quad)
+    quad = make_quad_map(jnp.concatenate([depth, imgs], axis=-1))
+    tap = gather_bilinear_quad(quad, pts2d, h, w, True)
+    pts_dpt_int, pts_rgb_int = tap[..., :1], tap[..., 1:]
 
     rgb_diff = jnp.abs(pts_rgb_int - imgs.reshape(1, rfn * h * w, 3))
 
@@ -90,7 +97,8 @@ def get_diff_feats(imgs, depth_norm, depth_range, poses, Ks):
     dpt_mean, dpt_var = masked_mean_var(dpt_diff, vm, 0)     # 1,rfn*h*w,1
     rgb_mean, rgb_var = masked_mean_var(rgb_diff, vm, 0)     # 1,rfn*h*w,3
     out = jnp.concatenate([rgb_mean, rgb_var, dpt_mean, dpt_var], -1)
-    return out.reshape(rfn, h, w, 8)
+    # pure data function — make sure no backward graph is carried
+    return jax.lax.stop_gradient(out.reshape(rfn, h, w, 8))
 
 
 class DepthInitNet(nn.Module):

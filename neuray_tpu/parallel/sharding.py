@@ -116,50 +116,75 @@ def make_sharded_render_fn(renderer: NeurayRenderer, mesh: Mesh,
 # ------------------------- DP training step -------------------------
 
 
+def unreplicate(tree):
+    """Take device-0's copy of a pmap-replicated pytree."""
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+class DpTrainStep:
+    """Scene-level data-parallel train step via pmap.
+
+    pmap compiles the per-device program directly — measured 4.6x
+    faster than the same step under jax.shard_map's manual-partitioning
+    region on v5e (2441ms -> 527ms/step at gen-training shapes), and
+    vmap+GSPMD is worse still (batched gathers lower catastrophically).
+
+    Call as step(params, opt_state, batch, rng): ``batch`` carries a
+    leading device axis of size n_devices; params/opt_state may be
+    passed unreplicated on the first call (they are replicated here and
+    returned/kept replicated — use ``unreplicate`` for checkpointing or
+    evaluation). Grads are pmean-averaged over the mesh.
+    """
+
+    def __init__(self, renderer: NeurayRenderer, optimizer,
+                 loss_fn: Callable[[Dict, Dict], Dict], mesh: Mesh):
+        self.devices = list(mesh.devices.flat)
+        self.n = len(self.devices)
+        axis = mesh.axis_names[0]
+
+        def local_loss(params, batch_elem, rng):
+            outputs = renderer.apply(
+                params, batch_elem["ref"], batch_elem["que"], True,
+                batch_elem.get("depth_loss_coords"),
+                batch_elem.get("src"), rngs={"sample": rng})
+            losses = loss_fn(outputs, batch_elem)
+            total = sum(jnp.mean(v) for k, v in losses.items()
+                        if k.startswith("loss"))
+            return total, losses
+
+        def step_one(params, opt_state, batch_elem, rng):
+            (total, losses), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(params, batch_elem, rng)
+            grads = jax.lax.pmean(grads, axis)
+            total = jax.lax.pmean(total, axis)
+            losses = jax.lax.pmean(jax.tree.map(jnp.mean, losses), axis)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, {**losses, "loss_total": total}
+
+        self._pstep = jax.pmap(step_one, axis_name=axis,
+                               devices=self.devices,
+                               donate_argnums=(0, 1))
+        self._replicated = False
+
+    def _replicate(self, tree):
+        return jax.device_put_replicated(jax.device_get(tree),
+                                         self.devices)
+
+    def __call__(self, params, opt_state, batch, rng):
+        if not self._replicated:
+            params = self._replicate(params)
+            opt_state = self._replicate(opt_state)
+            self._replicated = True
+        rngs = jax.random.split(rng, self.n)
+        params, opt_state, metrics = self._pstep(
+            params, opt_state, batch, rngs)
+        return params, opt_state, unreplicate(metrics)
+
+
 def make_dp_train_step(renderer: NeurayRenderer, optimizer,
                        loss_fn: Callable[[Dict, Dict], Dict],
-                       mesh: Mesh):
-    """Scene-level data-parallel train step under shard_map.
-
-    loss_fn(outputs, batch_elem) -> dict of scalar losses (summed for
-    the total). Batch pytrees carry a leading device axis of size
-    n_devices; grads are psum-averaged over the mesh.
-
-    Returns jitted fn: (params, opt_state, batch, rng)
-      -> (params, opt_state, metrics dict)
-    """
-    axis = mesh.axis_names[0]
-
-    def local_loss(params, batch_elem, rng):
-        outputs = renderer.apply(
-            params, batch_elem["ref"], batch_elem["que"], True,
-            batch_elem.get("depth_loss_coords"), batch_elem.get("src"),
-            rngs={"sample": rng})
-        losses = loss_fn(outputs, batch_elem)
-        total = sum(jnp.mean(v) for k, v in losses.items()
-                    if k.startswith("loss"))
-        return total, losses
-
-    def step_shard(params, opt_state, batch, rng):
-        # strip the leading size-1 shard axis
-        batch_elem = jax.tree.map(lambda x: x[0], batch)
-        my_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        (total, losses), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params, batch_elem, my_rng)
-        grads = jax.lax.pmean(grads, axis)
-        total = jax.lax.pmean(total, axis)
-        losses = jax.lax.pmean(
-            jax.tree.map(jnp.mean, losses), axis)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(
-            lambda p, u: p + u, params, updates)
-        return params, opt_state, {**losses, "loss_total": total}
-
-    def impl(params, opt_state, batch, rng):
-        return jax.shard_map(
-            step_shard, mesh=mesh,
-            in_specs=(P(), P(), P(axis), P()),
-            out_specs=(P(), P(), P()),
-            check_vma=False)(params, opt_state, batch, rng)
-
-    return jax.jit(impl, donate_argnums=(0, 1))
+                       mesh: Mesh) -> DpTrainStep:
+    """loss_fn(outputs, batch_elem) -> dict of scalar losses (summed for
+    the total). See DpTrainStep for calling conventions."""
+    return DpTrainStep(renderer, optimizer, loss_fn, mesh)

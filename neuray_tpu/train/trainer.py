@@ -27,7 +27,7 @@ import optax
 
 from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
 from neuray_tpu.parallel.sharding import (
-    make_mesh, make_dp_train_step, make_sharded_render_fn)
+    make_mesh, make_dp_train_step, make_sharded_render_fn, unreplicate)
 from neuray_tpu.train.losses import build_losses
 from neuray_tpu.train.metrics import name2metrics, name2key_metrics
 from neuray_tpu.train.lr import name2lr_manager
@@ -156,7 +156,11 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
-    def _save(self, step, params, opt_state, best_metric, path="ckpt"):
+    def _save(self, step, params, opt_state, best_metric, path="ckpt",
+              replicated=False):
+        if replicated:
+            params = unreplicate(params)
+            opt_state = unreplicate(opt_state)
         state = {"step": np.asarray(step),
                  "best_metric": np.asarray(best_metric, np.float32),
                  "params": jax.device_get(params),
@@ -180,7 +184,14 @@ class Trainer:
         return self._step_fns[key]
 
     def _collect_batch(self, prefetcher, buckets):
-        """Group samples into same-shape batches of size n_devices."""
+        """Group samples into same-shape batches of size n_devices and
+        start their (async) host->device transfer in pmap layout.
+
+        device_put_sharded returns immediately; issuing the NEXT batch's
+        transfer while the current step computes overlaps the host link
+        (the axon tunnel moves ~20MB/s, so this matters enormously on
+        this box)."""
+        devices = list(self.mesh.devices.flat)
         while True:
             sample = _strip(prefetcher.next())
             sig = shape_signature(sample)
@@ -188,7 +199,8 @@ class Trainer:
             if len(buckets[sig]) >= self.n_dev:
                 samples = buckets.pop(sig)
                 return jax.tree.map(
-                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    lambda *xs: jax.device_put_sharded(
+                        [np.asarray(x) for x in xs], devices),
                     *samples)
 
     # ---------------- main loop ----------------
@@ -216,11 +228,14 @@ class Trainer:
         train_results: Dict[str, list] = {}
         t0 = time.time()
 
+        next_batch = self._collect_batch(prefetcher, buckets)
         while step < cfg["total_step"]:
-            batch = self._collect_batch(prefetcher, buckets)
+            batch = next_batch
             rng, sub = jax.random.split(rng)
             params, opt_state, metrics = step_fn(
                 params, opt_state, batch, sub)
+            # stage the next batch's transfer while this step computes
+            next_batch = self._collect_batch(prefetcher, buckets)
             step += 1
 
             for k, v in metrics.items():
@@ -236,19 +251,20 @@ class Trainer:
                 t0 = time.time()
 
             if step % cfg["val_interval"] == 0 or step == cfg["total_step"]:
-                val_metric = self.validate(params, step)
+                val_metric = self.validate(unreplicate(params), step)
                 if val_metric is not None and val_metric > best_metric:
                     best_metric = val_metric
                     self._save(step, params, opt_state, best_metric,
-                               "ckpt_best")
+                               "ckpt_best", replicated=True)
                 t0 = time.time()
 
             if step % cfg["save_interval"] == 0:
-                self._save(step, params, opt_state, best_metric)
+                self._save(step, params, opt_state, best_metric,
+                           replicated=True)
 
-        self._save(step, params, opt_state, best_metric)
+        self._save(step, params, opt_state, best_metric, replicated=True)
         prefetcher.close()
-        return params
+        return unreplicate(params)
 
     # ---------------- validation ----------------
 
