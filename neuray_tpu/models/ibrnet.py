@@ -168,3 +168,58 @@ class IBRNetWithNeuRay(nn.Module):
         blending_weights = nn.softmax(x, axis=2)
         rgb_out = jnp.sum(rgb_in * blending_weights, axis=2)  # b,dn,3
         return jnp.concatenate([rgb_out, sigma_out], axis=-1)
+
+
+class IBRNet(nn.Module):
+    """Plain IBRNet without the NeuRay visibility weighting (present in
+    the reference as an unused alternative, reference ibrnet.py:118-237;
+    kept for API completeness / ablations)."""
+    in_feat_ch: int = 32
+    n_samples: int = 64
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, rgb_feat, ray_diff, mask):
+        num_views = rgb_feat.shape[2]
+        dt = self.dtype
+        direction_feat = _Seq((16, self.in_feat_ch + 3), "elu", dt,
+                              name="ray_dir_fc")(ray_diff)
+        rgb_in = rgb_feat[..., :3]
+        rgb_feat = rgb_feat + direction_feat
+        weight = mask / (jnp.sum(mask, axis=2, keepdims=True) + 1e-8)
+
+        mean, var = fused_mean_variance(rgb_feat, weight)
+        globalfeat = jnp.concatenate([mean, var], axis=-1)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(globalfeat,
+                              (*globalfeat.shape[:2], num_views,
+                               globalfeat.shape[-1])), rgb_feat], axis=-1)
+        x = _Seq((64, 32), "elu", dt, name="base_fc")(x)
+
+        x_vis = _Seq((32, 33), "elu", dt, name="vis_fc")(x * weight)
+        x_res, vis = x_vis[..., :-1], x_vis[..., -1:]
+        vis = nn.sigmoid(vis) * mask
+        x = x + x_res
+        vis = _Seq((32, 1), "sigmoid", dt, name="vis_fc2")(x * vis) * mask
+        weight = vis / (jnp.sum(vis, axis=2, keepdims=True) + 1e-8)
+
+        mean, var = fused_mean_variance(x, weight)
+        globalfeat = jnp.concatenate(
+            [mean[:, :, 0], var[:, :, 0], jnp.mean(weight, axis=2)], -1)
+        globalfeat = _Seq((64, 16), "elu", dt, name="geometry_fc")(globalfeat)
+        num_valid_obs = jnp.sum(mask, axis=2)
+        pos_table = jnp.asarray(sinusoid_pos_encoding(16, self.n_samples))
+        globalfeat = globalfeat + pos_table[:, :globalfeat.shape[1]]
+        attn_mask = (num_valid_obs > 1).astype(globalfeat.dtype)
+        globalfeat, _ = MultiHeadAttention(
+            4, 16, 4, 4, dtype=dt, name="ray_attention")(
+                globalfeat, globalfeat, globalfeat, mask=attn_mask)
+        sigma = _Seq((16, 1), "relu", dt, name="out_geometry_fc")(globalfeat)
+        sigma_out = jnp.where(num_valid_obs < 1, 0.0, sigma)
+
+        x = jnp.concatenate([x, vis, ray_diff], axis=-1)
+        x = _Seq((16, 8, 1), "none", dt, name="rgb_fc")(x)
+        x = jnp.where(mask == 0, -1e9, x)
+        blending_weights = nn.softmax(x, axis=2)
+        rgb_out = jnp.sum(rgb_in * blending_weights, axis=2)
+        return jnp.concatenate([rgb_out, sigma_out], axis=-1)

@@ -228,12 +228,14 @@ class Trainer:
         train_results: Dict[str, list] = {}
         t0 = time.time()
 
+        replicated = False
         next_batch = self._collect_batch(prefetcher, buckets)
         while step < cfg["total_step"]:
             batch = next_batch
             rng, sub = jax.random.split(rng)
             params, opt_state, metrics = step_fn(
                 params, opt_state, batch, sub)
+            replicated = True  # DpTrainStep keeps state pmap-replicated
             # stage the next batch's transfer while this step computes
             next_batch = self._collect_batch(prefetcher, buckets)
             step += 1
@@ -251,20 +253,22 @@ class Trainer:
                 t0 = time.time()
 
             if step % cfg["val_interval"] == 0 or step == cfg["total_step"]:
-                val_metric = self.validate(unreplicate(params), step)
+                val_metric = self.validate(
+                    unreplicate(params) if replicated else params, step)
                 if val_metric is not None and val_metric > best_metric:
                     best_metric = val_metric
                     self._save(step, params, opt_state, best_metric,
-                               "ckpt_best", replicated=True)
+                               "ckpt_best", replicated=replicated)
                 t0 = time.time()
 
             if step % cfg["save_interval"] == 0:
                 self._save(step, params, opt_state, best_metric,
-                           replicated=True)
+                           replicated=replicated)
 
-        self._save(step, params, opt_state, best_metric, replicated=True)
+        self._save(step, params, opt_state, best_metric,
+                   replicated=replicated)
         prefetcher.close()
-        return unreplicate(params)
+        return unreplicate(params) if replicated else params
 
     # ---------------- validation ----------------
 
