@@ -18,8 +18,32 @@ import jax
 import jax.numpy as jnp
 
 from neuray_tpu.utils.config import load_cfg
-from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+from neuray_tpu.models.renderer import (
+    NeurayRenderer, RenderConfig, make_render_fn)
 from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
+
+# stay below the ~60s single-program limit observed on tunneled TPU
+# workers; segmenting costs <2% dispatch overhead
+RAYS_PER_CALL = 163840
+
+
+def segmented_render(render_fn, params, ref, que, src=None):
+    """Render a full frame in bounded-ray device calls."""
+    coords = que["coords"]
+    n = coords.shape[1]
+    if n <= RAYS_PER_CALL:
+        return render_fn(params, ref, que, src)
+    outs = []
+    for i in range(0, n, RAYS_PER_CALL):
+        sub = dict(que)
+        chunk = coords[:, i:i + RAYS_PER_CALL]
+        pad = RAYS_PER_CALL - chunk.shape[1]
+        if pad:
+            chunk = jnp.pad(chunk, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        sub["coords"] = chunk
+        outs.append(jax.device_get(render_fn(params, ref, sub, src)))
+    merged = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1), *outs)
+    return jax.tree.map(lambda x: x[:, :n], merged)
 from neuray_tpu.data.database import parse_database_name, get_database_split
 from neuray_tpu.data.imgs_info import (
     build_imgs_info, build_render_imgs_info, imgs_info_slice)
@@ -116,7 +140,12 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
     keep = ["pixel_colors_nr", "pixel_colors_nr_fine"]
     if render_depth:
         keep += ["render_depth", "render_depth_fine"]
-    render_fn = make_sharded_render_fn(renderer, mesh, tuple(keep))
+    if mesh.devices.size > 1:
+        render_fn = make_sharded_render_fn(renderer, mesh, tuple(keep))
+    else:
+        # single device: the plain jit path avoids the manual-partition
+        # region overhead
+        render_fn = make_render_fn(renderer, tuple(keep))
 
     use_src_imgs = cfg.get("use_src_imgs", False) or \
         render_cfg.init_net_type == "cost_volume"
@@ -149,7 +178,7 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
         h, w = que_info.pop("shape")
         ref = jax.tree.map(jnp.asarray, ref_info)
         que = jax.tree.map(jnp.asarray, que_info)
-        out = render_fn(params, ref, que, src)
+        out = segmented_render(render_fn, params, ref, que, src)
         save_renderings(output_dir, qi, out, h, w)
         if render_depth:
             save_depth(output_dir, qi, out, h, w, que_depth_ranges[qi])
