@@ -344,52 +344,78 @@ class DTUTestDatabase(BaseDatabase):
 
 
 class ExampleDatabase(BaseDatabase):
-    """example/<scene> — custom scenes preprocessed by COLMAP
-    (reference :469-599): sparse model + optional dense depth; depth
-    range derived from the sparse points seen by each image."""
+    """example/<scene>/<resolution|raw> — custom scenes preprocessed by
+    COLMAP (reference :469-599): sparse model + optional dense depth;
+    per-image depth range from robust percentiles over the sparse
+    points; optional longest-side resize."""
 
     def __init__(self, database_name: str):
         super().__init__(database_name)
-        _, self.scene_name = database_name.split("/")
+        parts = database_name.split("/")
+        self.scene_name = parts[1]
+        self.resolution = parts[2] if len(parts) > 2 else "raw"
         self.root_dir = f"{DATA_ROOT}/example/{self.scene_name}"
-        sparse = f"{self.root_dir}/colmap/sparse/0"
+        sparse = f"{self.root_dir}/sparse/0"
         if not os.path.exists(sparse):
-            sparse = f"{self.root_dir}/sparse"
+            # layout produced by our run_colmap.py wrapper
+            sparse = f"{self.root_dir}/colmap/sparse/0"
+        self._sparse_dir = sparse
         self.cameras = colmap_io.read_cameras_binary(f"{sparse}/cameras.bin")
         self.images = colmap_io.read_images_binary(f"{sparse}/images.bin")
-        self.points = colmap_io.read_points3d_binary(f"{sparse}/points3D.bin")
-        self.img_ids = sorted(self.images.keys())
+        self.img_ids = [str(k) for k in sorted(self.images.keys())]
+
+        if self.resolution != "raw":
+            first = self.images[int(self.img_ids[0])].name
+            h, w = _imread(f"{self.root_dir}/images/{first}").shape[:2]
+            self.ratio = int(self.resolution) / max(h, w)
+        else:
+            self.ratio = 1.0
         self._depth_ranges = self._compute_depth_ranges()
 
     def _compute_depth_ranges(self):
-        """Project each image's tracked sparse points; use robust
-        percentile bounds (reference :509-532)."""
+        """Percentile 2/98 of sparse-point depths per image, widened by
+        0.8x/1.2x (reference :509-525); cached to depth_range.pkl."""
+        import pickle
+        cache = f"{self.root_dir}/depth_range.pkl"
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        pts = colmap_io.read_points3d_binary(
+            f"{self._sparse_dir}/points3D.bin")
+        points = np.asarray([v.xyz for v in pts.values()], np.float32)
         ranges = {}
         for img_id in self.img_ids:
-            image = self.images[img_id]
-            pose = image.pose34()
-            pids = [p for p in image.point3d_ids if p != -1 and p in self.points]
-            if len(pids) == 0:
-                ranges[img_id] = np.asarray([0.1, 10.0], np.float32)
-                continue
-            xyz = np.stack([self.points[p].xyz for p in pids])
-            z = (pose[:, :3] @ xyz.T + pose[:, 3:])[2]
-            z = z[z > 1e-4]
-            near, far = np.percentile(z, 1), np.percentile(z, 99)
-            ranges[img_id] = np.asarray(
-                [max(near * 0.8, 1e-3), far * 1.2], np.float32)
+            pose = self.get_pose(img_id)
+            z = (pose[:, :3] @ points.T + pose[:, 3:])[2]
+            far = np.percentile(z.flatten(), 98) * 1.2
+            near = np.percentile(z.flatten(), 2) * 0.8
+            ranges[img_id] = np.asarray([near, far], np.float32)
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump(ranges, f)
+        except OSError:
+            pass
         return ranges
 
+    def _name(self, img_id):
+        return self.images[int(img_id)].name
+
     def get_image(self, img_id):
-        return _imread(
-            f"{self.root_dir}/images/{self.images[img_id].name}")[..., :3]
+        img = _imread(f"{self.root_dir}/images/{self._name(img_id)}")[..., :3]
+        if self.resolution != "raw":
+            img = resize_img(img, self.ratio)
+        return img
 
     def get_K(self, img_id):
-        return self.cameras[
-            self.images[img_id].camera_id].K().astype(np.float32)
+        K = self.cameras[
+            self.images[int(img_id)].camera_id].K().astype(np.float32)
+        if self.resolution != "raw":
+            K = (np.diag([self.ratio, self.ratio, 1.0]) @ K).astype(
+                np.float32)
+        return K
 
     def get_pose(self, img_id):
-        return self.images[img_id].pose34().astype(np.float32)
+        return self.images[int(img_id)].pose34().astype(np.float32)
 
     def get_img_ids(self, check_depth_exist=False):
         if check_depth_exist:
@@ -398,16 +424,25 @@ class ExampleDatabase(BaseDatabase):
         return self.img_ids
 
     def _depth_path(self, img_id):
-        name = self.images[img_id].name
-        fn = (f"{self.root_dir}/colmap/dense/stereo/depth_maps/"
-              f"{name}.geometric.bin")
-        return fn if os.path.exists(fn) else None
+        name = self._name(img_id)
+        for base in ("dense", "colmap/dense"):
+            fn = (f"{self.root_dir}/{base}/stereo/depth_maps/"
+                  f"{name}.geometric.bin")
+            if os.path.exists(fn):
+                return fn
+        return None
 
     def get_depth(self, img_id):
         fn = self._depth_path(img_id)
         if fn is None:
             return None
-        return colmap_io.read_array(fn)
+        depth = colmap_io.read_array(fn).astype(np.float32)
+        if self.resolution != "raw":
+            h, w = depth.shape
+            depth = cv2.resize(
+                depth, (int(w * self.ratio), int(h * self.ratio)),
+                interpolation=cv2.INTER_NEAREST)
+        return depth
 
     def get_mask(self, img_id):
         img = self.get_image(img_id)
