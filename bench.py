@@ -26,7 +26,7 @@ ESTIMATED_REF_RAYS_PER_SEC = 1.0e4
 H = W = 800
 RFN = 8
 RAY_CHUNK = 1024
-SEGMENT = 163840  # rays per device call (~21s/call — safely under the ~60s axon kill)
+SEGMENT = 327680  # rays per device call (~18-25s at current speed; under the ~60s axon kill)
 DN = 64
 
 

@@ -24,7 +24,7 @@ from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
 
 # stay below the ~60s single-program limit observed on tunneled TPU
 # workers; segmenting costs <2% dispatch overhead
-RAYS_PER_CALL = 163840
+RAYS_PER_CALL = 327680
 
 
 def segmented_render(render_fn, params, ref, que, src=None):
