@@ -214,7 +214,9 @@ class Trainer:
         if restored is not None:
             params = restored["params"]
             _, opt_state = self._init_state(first)
-            opt_state = _restore_opt_state(opt_state, restored)
+            opt_state = _restore_opt_state(
+                opt_state, restored,
+                strict=not self.cfg.get("resume_reset_opt", False))
             step = int(restored["step"])
             best_metric = float(restored["best_metric"])
             print(f"resumed from step {step}", flush=True)
@@ -273,17 +275,26 @@ class Trainer:
     # ---------------- validation ----------------
 
     def validate(self, params, step):
-        """(reference train/train_valid.py:16-44)"""
-        key_vals = []
-        for val_set in self.cfg["val_set_list"]:
-            name = val_set["name"]
-            dataset = name2dataset[val_set["type"]](
-                {**val_set.get("cfg", {})}, False)
-            results: Dict[str, list] = {}
-            render_fn = make_sharded_render_fn(
+        """(reference train/train_valid.py:16-44)
+
+        Val datasets and the sharded render fn are built once and cached
+        (this 1-core host pays real disk/compile time for each rebuild).
+        """
+        if not hasattr(self, "_val_cache"):
+            self._val_cache = {}
+            self._val_render_fn = make_sharded_render_fn(
                 self.renderer, self.mesh,
                 keep_keys=("pixel_colors_nr", "pixel_colors_nr_fine",
                            "pixel_colors_dr", "pixel_colors_dr_fine"))
+        key_vals = []
+        for val_set in self.cfg["val_set_list"]:
+            name = val_set["name"]
+            if name not in self._val_cache:
+                self._val_cache[name] = name2dataset[val_set["type"]](
+                    {**val_set.get("cfg", {})}, False)
+            dataset = self._val_cache[name]
+            results: Dict[str, list] = {}
+            render_fn = self._val_render_fn
             t0 = time.time()
             for i in range(len(dataset)):
                 sample = _strip(dataset[i])
@@ -317,12 +328,31 @@ def _strip(sample):
     return {k: v for k, v in sample.items() if k != "scene_name"}
 
 
-def _restore_opt_state(template_state, restored):
-    """Restore opt state into the template structure if present."""
+def _restore_opt_state(template_state, restored, strict: bool = True):
+    """Restore opt state into the template structure.
+
+    A structure mismatch (e.g. the param tree changed since the
+    checkpoint was written) would silently reset Adam moments if we
+    just returned the fresh template — that corrupts a resumed run
+    while claiming "resumed from step N". Raise by default; callers
+    may pass strict=False to accept a loud reset.
+    """
     if "opt_state" not in restored:
         return template_state
     flat_t, treedef = jax.tree.flatten(template_state)
     flat_r = jax.tree.leaves(restored["opt_state"])
-    if len(flat_t) != len(flat_r):
+    if len(flat_t) != len(flat_r) or any(
+            getattr(t, "shape", None) != getattr(r, "shape", None)
+            for t, r in zip(flat_t, flat_r)):
+        msg = (f"checkpoint opt_state does not match the current "
+               f"optimizer structure ({len(flat_r)} vs {len(flat_t)} "
+               f"leaves / shape mismatch); resuming would silently "
+               f"reset Adam moments")
+        if strict:
+            raise ValueError(
+                msg + ". Pass resume_reset_opt=True to accept a fresh "
+                      "optimizer state.")
+        print(f"WARNING: {msg}; using a FRESH optimizer state.",
+              flush=True)
         return template_state
     return jax.tree.unflatten(treedef, flat_r)

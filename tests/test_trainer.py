@@ -56,3 +56,39 @@ def test_trainer_runs_and_resumes(tmp_path):
     leaves = [np.asarray(x) for x in
               __import__("jax").tree.leaves(params2)]
     assert all(np.isfinite(l).all() for l in leaves)
+
+
+def test_restore_opt_state_strict():
+    """Adam moments must survive a resume; a structure mismatch must be
+    loud (raise under strict) instead of silently resetting moments."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from neuray_tpu.train.trainer import _restore_opt_state
+
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, state = opt.update(grads, state, params)
+
+    # round trip: moments preserved exactly
+    template = opt.init(params)
+    out = _restore_opt_state(template, {"opt_state": state})
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # param tree changed since the ckpt -> strict raise, non-strict warns
+    params2 = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,)),
+               "extra": jnp.zeros((4,))}
+    template2 = opt.init(params2)
+    with pytest.raises(ValueError, match="opt_state"):
+        _restore_opt_state(template2, {"opt_state": state})
+    out2 = _restore_opt_state(template2, {"opt_state": state}, strict=False)
+    assert len(jax.tree.leaves(out2)) == len(jax.tree.leaves(template2))
+
+    # same leaf count but different shapes -> also a mismatch
+    params3 = {"w": jnp.ones((2, 3)), "b": jnp.zeros((2,))}
+    template3 = opt.init(params3)
+    with pytest.raises(ValueError, match="opt_state"):
+        _restore_opt_state(template3, {"opt_state": state})
