@@ -1,0 +1,118 @@
+"""Analytic synthetic scenes: diffuse unit sphere at the origin.
+
+No reference counterpart — the reference has no test suite or synthetic
+data (SURVEY.md §4). These fabricated scenes back the test pyramid, the
+driver entry points, bench.py and the CLI self-checks: exact camera
+geometry + analytic depth lets every pipeline stage run with zero
+datasets on disk.
+
+Conventions match the data layer: channels-last, poses [3,4] OpenCV
+world->cam, coords (x, y) float32.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+# cameras on a radius-4 shell around a unit sphere: every z-depth lies
+# safely inside [2.5, 5.5]
+RADIUS = 4.0
+DEPTH_RANGE = (2.5, 5.5)
+
+
+def look_at_camera(rng: np.random.RandomState, h: int, w: int,
+                   radius: float = RADIUS):
+    """Random camera on a radius shell looking at the origin.
+    Returns (pose [3,4] world->cam, K [3,3])."""
+    d = rng.randn(3)
+    d = d / np.linalg.norm(d)
+    center = d * radius
+    z = -d  # optical axis towards the origin
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(up, z)) > 0.98:
+        up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], 0)  # world->cam rows
+    t = -R @ center
+    pose = np.concatenate([R, t[:, None]], 1).astype(np.float32)
+    K = np.array([[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]],
+                 np.float32)
+    return pose, K
+
+
+def render_sphere_view(pose: np.ndarray, K: np.ndarray, h: int, w: int):
+    """Analytic render of the diffuse unit sphere.
+    Returns (rgb [h,w,3] f32 0..1, zdepth [h,w] f32, mask [h,w] bool)."""
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    pix = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float32)
+    Kinv = np.linalg.inv(K)
+    dirs_cam = pix @ Kinv.T
+    R, t = pose[:, :3], pose[:, 3]
+    center = -R.T @ t
+    dirs = dirs_cam @ R  # world-space ray directions per pixel
+
+    # ray-sphere intersection, radius 1 around the origin
+    b = 2 * dirs @ center
+    a = np.sum(dirs * dirs, -1)
+    c = center @ center - 1.0
+    disc = b * b - 4 * a * c
+    hit = disc > 0
+    tt = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0)
+    pts = center[None, None] + dirs * tt[..., None]
+
+    shade = np.clip(pts @ np.array([0.5, 0.5, 0.7]), 0, 1)
+    rgb = np.where(hit[..., None],
+                   np.stack([shade, shade * 0.5, 1 - shade], -1),
+                   0.0).astype(np.float32)
+    zdepth = np.where(hit, pts @ R[2] + t[2], 0).astype(np.float32)
+    return rgb, zdepth, hit
+
+
+def make_sphere_scene(rng: np.random.RandomState, rfn: int, h: int,
+                      w: int) -> Dict[str, np.ndarray]:
+    """rfn reference views of the sphere, in the renderer's ref schema:
+    {imgs [rfn,h,w,3], poses [rfn,3,4], Ks [rfn,3,3], depth_range
+    [rfn,2], depth [rfn,h,w,1]}. Depth is the exact z-depth (the
+    "COLMAP estimate" for the depth init net)."""
+    imgs, poses, Ks, depths = [], [], [], []
+    for _ in range(rfn):
+        pose, K = look_at_camera(rng, h, w)
+        rgb, zdepth, _ = render_sphere_view(pose, K, h, w)
+        imgs.append(rgb)
+        poses.append(pose)
+        Ks.append(K)
+        depths.append(zdepth)
+    return {
+        "imgs": np.stack(imgs),
+        "poses": np.stack(poses).astype(np.float32),
+        "Ks": np.stack(Ks).astype(np.float32),
+        "depth_range": np.tile(np.asarray([DEPTH_RANGE], np.float32),
+                               (rfn, 1)),
+        "depth": np.stack(depths)[..., None],
+    }
+
+
+def make_query(rng: np.random.RandomState, h: int, w: int, rn: int,
+               full_image: bool = False) -> Dict[str, np.ndarray]:
+    """One query view in the renderer's que schema: {coords [1,rn,2],
+    poses [1,3,4], Ks [1,3,3], depth_range [1,2], imgs [1,h,w,3]}.
+    full_image=True emits the full pixel grid instead of rn random
+    pixels."""
+    pose, K = look_at_camera(rng, h, w)
+    rgb, _, _ = render_sphere_view(pose, K, h, w)
+    if full_image:
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        coords = np.stack([xs, ys], -1).reshape(1, -1, 2)
+    else:
+        coords = np.stack([rng.randint(0, w, rn),
+                           rng.randint(0, h, rn)], -1)[None]
+    return {
+        "coords": coords.astype(np.float32),
+        "poses": pose[None],
+        "Ks": K[None],
+        "depth_range": np.asarray([DEPTH_RANGE], np.float32),
+        "imgs": rgb[None],
+    }

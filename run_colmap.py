@@ -3,7 +3,7 @@ run_colmap.py)."""
 import argparse
 
 from neuray_tpu.data.colmap_process import (
-    process_example_dataset, clear_project)
+    process_example_dataset, clear_project, visualize_camera_locations)
 
 
 def main():
@@ -18,6 +18,7 @@ def main():
 
     root = f"data/example/{flags.example_name}"
     process_example_dataset(root, flags.colmap, flags.same_camera)
+    visualize_camera_locations(root, flags.example_name)
     if flags.clear:
         clear_project(root)
 
