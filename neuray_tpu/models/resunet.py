@@ -17,18 +17,21 @@ from neuray_tpu.models.blocks import (
 
 
 def _skip_pad_concat(x_up, x_skip):
-    """Pad the upsampled map to the skip's spatial size, concat channels.
+    """Pad the SKIP map to the upsampled map's spatial size, then concat
+    [upsampled, skip] on channels.
 
-    Parity with reference skipconnect (ops.py:205-212): F.pad splits the
-    difference between both sides.
+    Parity with reference skipconnect (ops.py:290-302), which is called
+    as skipconnect(x_skip, x_up): it pads its FIRST arg (the encoder
+    skip) to the second's size and cats [x_up, x_skip] — both the pad
+    target and the channel order matter for weight-converted parity.
     """
-    dy = x_skip.shape[1] - x_up.shape[1]
-    dx = x_skip.shape[2] - x_up.shape[2]
+    dy = x_up.shape[1] - x_skip.shape[1]
+    dx = x_up.shape[2] - x_skip.shape[2]
     if dy or dx:
-        x_up = jnp.pad(
-            x_up,
+        x_skip = jnp.pad(
+            x_skip,
             ((0, 0), (dy // 2, dy - dy // 2), (dx // 2, dx - dx // 2), (0, 0)))
-    return jnp.concatenate([x_skip, x_up], axis=-1)
+    return jnp.concatenate([x_up, x_skip], axis=-1)
 
 
 class _ResLayer(nn.Module):
