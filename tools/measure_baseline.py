@@ -107,12 +107,30 @@ def main():
     que_t = {k: torch.from_numpy(np.asarray(v)).float()
              for k, v in que_np.items()}
 
+    # steady-state ray throughput: time the per-chunk render path with
+    # the scene encoding (init net + image/vis encoders) done once, the
+    # same way render.py amortizes it over a full frame. The full
+    # reference forward is minutes per call on this 1-core host, so the
+    # per-scene stage is timed separately.
     with torch.no_grad():
-        model({"ref_imgs_info": dict(ref_t), "que_imgs_info": dict(que_t),
-               "eval": True})  # warmup
         t0 = time.perf_counter()
-        model({"ref_imgs_info": dict(ref_t), "que_imgs_info": dict(que_t),
-               "eval": True})
+        ref_info = dict(ref_t)
+        ref_info["ray_feats"] = model.init_net(ref_info, None, False)
+        img_feats = model.image_encoder(ref_info["imgs"])
+        ref_info["img_feats"] = img_feats
+        ref_info["ray_feats"] = model.vis_encoder(
+            ref_info["ray_feats"], img_feats)
+        dt_scene = time.perf_counter() - t0
+        print(json.dumps({"system": "reference scene encode (CPU)",
+                          "seconds": round(dt_scene, 2)}), flush=True)
+
+        def ray_chunk():
+            q = dict(que_t)
+            return model.render_impl(q, dict(ref_info), False)
+
+        ray_chunk()  # warmup
+        t0 = time.perf_counter()
+        ray_chunk()
         dt_ref = time.perf_counter() - t0
     ref_rps = flags.rays / dt_ref
     print(json.dumps({

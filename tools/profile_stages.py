@@ -23,7 +23,7 @@ CHUNK = 1024
 DN = 64
 RFN = 8
 H = W = 800
-K = 32           # chunks per timed program
+K = 16           # chunks per timed program
 FRAME_CHUNKS = 640000 / CHUNK   # 625 chunks per 800x800 frame
 
 
