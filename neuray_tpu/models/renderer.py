@@ -27,7 +27,7 @@ from neuray_tpu.ops import sampling as S
 from neuray_tpu.ops.compositing import alpha_values2hit_prob, composite_colors
 from neuray_tpu.ops.interpolate import (
     grid_sample_nhwc, interpolate_feature_map, make_quad_map,
-    gather_bilinear_quad)
+    gather_bilinear_quad, make_fused_scene_map, gather_bilinear_fused)
 from neuray_tpu.ops import sh as SH
 from neuray_tpu.models.resunet import ResUNetLight
 from neuray_tpu.models.vis_encoder import name2vis_encoder
@@ -149,9 +149,20 @@ class NeurayRenderer(nn.Module):
             dt = jnp.bfloat16 if self.cfg.use_bf16 else None
             def cast(x):
                 return x.astype(dt) if dt is not None else x
-            ref["rgb_quad"] = make_quad_map(cast(ref["imgs"]))
-            ref["feats_quad"] = make_quad_map(cast(jnp.concatenate(
-                [ref["ray_feats"], ref["img_feats"]], axis=-1)))
+            h, w = ref["imgs"].shape[1:3]
+            fh, fw = ref["ray_feats"].shape[1:3]
+            feats = cast(jnp.concatenate(
+                [ref["ray_feats"], ref["img_feats"]], axis=-1))
+            if 1.5 * max((w - 1) / fw, (h - 1) / fh) + 1.0 <= 7.0:
+                # ONE gather tap per (point, view): feats quad + packed
+                # full-res rgb patch (see ops.interpolate.
+                # make_fused_scene_map — the gather is index-rate bound,
+                # so halving taps halves the dominant frame cost).
+                ref["fused_map"] = make_fused_scene_map(
+                    cast(ref["imgs"]), feats, h, w)
+            else:
+                ref["rgb_quad"] = make_quad_map(cast(ref["imgs"]))
+                ref["feats_quad"] = make_quad_map(feats)
         return ref
 
     # ---------------- per-chunk rendering ----------------
@@ -183,7 +194,15 @@ class NeurayRenderer(nn.Module):
         maskf = prj_mask.astype(jnp.float32)
 
         mcol = maskf[..., None]
-        if "rgb_quad" in ref:
+        if "fused_map" in ref:
+            out, prj_rgb = gather_bilinear_fused(
+                ref["fused_map"], prj_pts, h, w,
+                ref["ray_feats"].shape[-1])
+            prj_rgb = prj_rgb * mcol
+            out = out * mcol
+            nf = ref["ray_feats"].shape[-1]
+            prj_ray_feats, prj_img_feats = out[..., :nf], out[..., nf:]
+        elif "rgb_quad" in ref:
             # quad-packed maps: ONE index-rate-bound gather per map
             # instead of four (see ops.interpolate.make_quad_map) —
             # ~3x faster interpolation on v5e, bit-identical results.

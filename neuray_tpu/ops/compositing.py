@@ -1,6 +1,7 @@
 """Volume-rendering compositing (alpha -> hit probability / weights)."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -10,13 +11,23 @@ def alpha_values2hit_prob(alpha_values: jnp.ndarray) -> jnp.ndarray:
     Parity: reference render_ops.py:72-80 (exclusive cumprod of the
     no-hit density with a leading 1).
 
+    TPU note: jnp.cumprod lowers to a dn-step sequential scan (measured
+    ~2.4 s/frame at bench shapes); the exclusive prefix product is
+    instead computed in log space as ONE strictly-lower-triangular
+    [dn, dn] matmul on the MXU. no_hit > 0 always (alpha <= 1 and the
+    +1e-10), so the log is safe; f32 round trip error ~1e-6.
+
     alpha_values [..., dn] -> [..., dn]
     """
+    dn = alpha_values.shape[-1]
     no_hit = 1.0 - alpha_values + 1e-10
-    ones = jnp.ones((*alpha_values.shape[:-1], 1), alpha_values.dtype)
-    transmittance = jnp.cumprod(
-        jnp.concatenate([ones, no_hit], axis=-1), axis=-1)[..., :-1]
-    return alpha_values * transmittance
+    log_no_hit = jnp.log(no_hit)
+    # strict lower triangle: logT[i] = sum_{j<i} log_no_hit[j]
+    tri = (jnp.arange(dn)[:, None] < jnp.arange(dn)[None, :]).astype(
+        log_no_hit.dtype)
+    log_t = jnp.matmul(log_no_hit, tri,
+                       precision=jax.lax.Precision.HIGHEST)
+    return alpha_values * jnp.exp(log_t)
 
 
 def composite_colors(hit_prob: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:

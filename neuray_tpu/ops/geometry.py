@@ -96,7 +96,14 @@ def project_points_coords(pts: jnp.ndarray, poses: jnp.ndarray, Ks: jnp.ndarray)
       depth [rfn, pn, 1]
     """
     KRt = jnp.matmul(Ks, poses, precision=_HI)                                        # rfn,3,4
-    pts_cam = jnp.einsum("vij,pj->vpi", KRt[:, :, :3], pts, precision=_HI) + KRt[:, :, 3][:, None, :]
+    # expand the K=3 contraction into elementwise VPU ops: a HIGHEST
+    # matmul with K=3 runs as a 6-pass MXU program at 3/128 utilization
+    # (measured 2.9 s/frame at bench shapes); explicit mul/add is exact
+    # f32 and ~2 orders of magnitude cheaper.
+    M = KRt[:, None, :, :]                                   # rfn,1,3,4
+    p = pts[None, :, None, :]                                # 1,pn,1,3
+    pts_cam = (M[..., 0] * p[..., 0] + M[..., 1] * p[..., 1]
+               + M[..., 2] * p[..., 2] + M[..., 3])          # rfn,pn,3
     depth = pts_cam[..., 2:]
     invalid = jnp.abs(depth) < 1e-4
     depth_safe = jnp.where(invalid, 1e-3, depth)

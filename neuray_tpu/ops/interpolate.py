@@ -159,6 +159,123 @@ def make_quad_map(feats: jnp.ndarray) -> jnp.ndarray:
         feats[:, 1:, :-1], feats[:, 1:, 1:]], axis=-1)
 
 
+def _patch_base(cell: jnp.ndarray, ratio: float, size: int,
+                patch: int) -> jnp.ndarray:
+    """First full-res pixel of the ``patch``-wide window that covers
+    every full-res coordinate whose 1/4-res anchor is ``cell``.
+
+    cell k >= 1 covers full-res x in [(k+0.5)*ratio, (k+1.5)*ratio);
+    cell 0 additionally absorbs all clipped-left coords down to 0.
+    With ratio < 4 a 7-wide window always suffices (see
+    make_fused_scene_map's assert).
+    """
+    base = jnp.floor((cell.astype(jnp.float32) + 0.5) * ratio)
+    base = jnp.where(cell == 0, 0.0, base)
+    return jnp.clip(base, 0.0, float(size - patch))
+
+
+_PATCH = 7  # full-res rgb window per 1/4-res cell
+
+
+def make_fused_scene_map(imgs: jnp.ndarray, feats: jnp.ndarray,
+                         h: int, w: int) -> jnp.ndarray:
+    """Pack the feats 2x2 quad AND the full-res rgb 7x7 patch into one
+    1/4-res map so the render hot loop pays ONE gather tap per
+    (point, view) instead of two.
+
+    Why: the TPU gather is index-rate bound (~20ns/tap measured on v5e
+    regardless of 24B vs 512B rows — tools/profile_stages.py); the two
+    per-point taps (rgb_quad at full res + feats_quad at 1/4 res) were
+    80% of the 800x800 frame time, split evenly. Packing rgb alongside
+    the feats cell halves the tap count for near-zero extra bytes.
+
+    imgs [n,h,w,3] (any float dtype); feats [n,fh,fw,c] ->
+    fused [n, fh-1, fw-1, 4c + 147] with channels
+    [feats quad (4c) | rgb patch rows-major 7x7x3 (147)].
+    """
+    n, fh, fw, c = feats.shape
+    ratio_x, ratio_y = (w - 1) / fw, (h - 1) / fh
+    # a 7-wide window covers cell 0's clipped span of 1.5*ratio pixels
+    # plus the bilinear +1 tap
+    assert 1.5 * max(ratio_x, ratio_y) + 1.0 <= _PATCH, (
+        f"feature grid too coarse for the fused map: ratio "
+        f"{(ratio_x, ratio_y)}")
+    quad = make_quad_map(feats)                       # n,fh-1,fw-1,4c
+
+    kx = jnp.arange(fw - 1)
+    ky = jnp.arange(fh - 1)
+    base_x = _patch_base(kx, ratio_x, w, _PATCH).astype(jnp.int32)
+    base_y = _patch_base(ky, ratio_y, h, _PATCH).astype(jnp.int32)
+    iy = base_y[:, None] + jnp.arange(_PATCH)[None]   # fh-1,7
+    ix = base_x[:, None] + jnp.arange(_PATCH)[None]   # fw-1,7
+    rows = jnp.take(imgs, iy.reshape(-1), axis=1)     # n,(fh-1)*7,w,3
+    patch = jnp.take(rows, ix.reshape(-1), axis=2)    # n,(fh-1)*7,(fw-1)*7,3
+    patch = patch.reshape(n, fh - 1, _PATCH, fw - 1, _PATCH, 3)
+    patch = patch.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, fh - 1, fw - 1, _PATCH * _PATCH * 3)
+    return jnp.concatenate([quad, patch.astype(quad.dtype)], axis=-1)
+
+
+def gather_bilinear_fused(fused: jnp.ndarray, points: jnp.ndarray,
+                          h: int, w: int, c: int):
+    """One tap from a make_fused_scene_map map -> (feats [n,pn,c*?],
+    rgb [n,pn,3]).
+
+    feats reproduce gather_bilinear_quad(feats_quad, pts, h, w, False);
+    rgb reproduces gather_bilinear_quad(rgb_quad, pts, h, w, True) (the
+    full-res align-corners bilinear with border clamp), evaluated from
+    the packed 7x7 patch with hat-function weights — exact bilinear
+    because hat(dx - j) IS the linear interpolation kernel on the
+    integer grid.
+    """
+    n = fused.shape[0]
+    fh, fw = fused.shape[1] + 1, fused.shape[2] + 1
+    c4 = fused.shape[-1] - _PATCH * _PATCH * 3
+
+    x = points[..., 0]
+    y = points[..., 1]
+    # 1/4-res anchor (align_corners=False round trip, as in
+    # gather_bilinear_quad)
+    ix = jnp.clip(x * fw / (w - 1.0) - 0.5, 0.0, fw - 1.0)
+    iy = jnp.clip(y * fh / (h - 1.0) - 0.5, 0.0, fh - 1.0)
+    x0 = jnp.clip(jnp.floor(ix), 0.0, fw - 2.0)
+    y0 = jnp.clip(jnp.floor(iy), 0.0, fh - 2.0)
+    tx = (ix - x0)[..., None]
+    ty = (iy - y0)[..., None]
+    idx = (y0 * (fw - 1) + x0).astype(jnp.int32)
+
+    flat = fused.reshape(n, (fh - 1) * (fw - 1), fused.shape[-1])
+    tap = jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    qc = c4 // 4
+    f00, f01, f10, f11 = (tap[..., :qc], tap[..., qc:2 * qc],
+                          tap[..., 2 * qc:3 * qc], tap[..., 3 * qc:c4])
+    top = f00 * (1 - tx) + f01 * tx
+    bot = f10 * (1 - tx) + f11 * tx
+    feats = top * (1 - ty) + bot * ty
+
+    # full-res rgb from the patch: hat weights around (x, y)
+    ratio_x, ratio_y = (w - 1) / fw, (h - 1) / fh
+    base_x = _patch_base(x0, ratio_x, w, _PATCH)
+    base_y = _patch_base(y0, ratio_y, h, _PATCH)
+    dx = jnp.clip(x, 0.0, w - 1.0) - base_x            # in [0, 6]
+    dy = jnp.clip(y, 0.0, h - 1.0) - base_y
+    offs = jnp.arange(_PATCH, dtype=jnp.float32)
+    wx = nn_relu(1.0 - jnp.abs(dx[..., None] - offs))  # n,pn,7
+    wy = nn_relu(1.0 - jnp.abs(dy[..., None] - offs))
+    patch = tap[..., c4:].reshape(
+        *tap.shape[:-1], _PATCH, _PATCH, 3).astype(wx.dtype)
+    # two small weighted reductions (separable bilinear); avoids an
+    # einsum lowering that materializes the [*, 7, 7, 3] outer product
+    tmp = jnp.sum(patch * wx[..., None, :, None], axis=-2)   # *,7,3
+    rgb = jnp.sum(tmp * wy[..., :, None], axis=-2)           # *,3
+    return feats, rgb
+
+
+def nn_relu(x):
+    return jnp.maximum(x, 0.0)
+
+
 def gather_bilinear_quad(quad: jnp.ndarray, points: jnp.ndarray,
                          h: int, w: int,
                          align_corners: bool) -> jnp.ndarray:

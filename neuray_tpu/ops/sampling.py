@@ -83,8 +83,13 @@ def sample_fine_depth(depth: jnp.ndarray, hit_prob: jnp.ndarray,
 
     hit_prob = hit_prob + 1e-5
     pdf = hit_prob / jnp.sum(hit_prob, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # qn,rn,dn+1... (dn)
+    # inclusive prefix sum as one triangular matmul (jnp.cumsum lowers
+    # to a dn-step sequential scan on TPU)
+    n = pdf.shape[-1]
+    tri = (jnp.arange(n)[:, None] <= jnp.arange(n)[None, :]).astype(
+        pdf.dtype)
+    cdf = jnp.matmul(pdf, tri, precision=jax.lax.Precision.HIGHEST)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # qn,rn,dn+1
 
     dn = cdf.shape[-1]
     if random_sample:
@@ -95,17 +100,27 @@ def sample_fine_depth(depth: jnp.ndarray, hit_prob: jnp.ndarray,
         u = 0.5 * interval + jnp.arange(fdn, dtype=jnp.float32) * interval
         u = jnp.broadcast_to(u, (*cdf.shape[:-1], fdn))
 
-    # searchsorted(cdf, u, right=True) without gather-heavy code paths:
-    # count entries of cdf <= u (cdf is nondecreasing). [*, fdn]
-    inds = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32),
-                   axis=-1)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, dn - 1)
+    # searchsorted(cdf, u, right=True) + the 4 bin lookups, all without
+    # gathers: cdf and depth_center are NONDECREASING along dn, so
+    # "value at the last index with cdf <= u" is a masked max and
+    # "value at the first index with cdf > u" is a masked min — pure
+    # VPU reductions (the per-element take_along_axis gathers here were
+    # ~3 s/frame of index-rate-bound gather traffic at bench shapes).
+    mask = cdf[..., None, :] <= u[..., :, None]           # *,fdn,dn
+    maskf = mask.astype(cdf.dtype)
+    big = jnp.asarray(1e9, cdf.dtype)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(depth_center, below, axis=-1)
-    bins_above = jnp.take_along_axis(depth_center, above, axis=-1)
+    def last_leq(vals):   # vals nondecreasing [*, dn] -> [*, fdn]
+        return jnp.max(maskf * vals[..., None, :], axis=-1)
+
+    def first_gt(vals):
+        shifted = jnp.min(vals[..., None, :] + maskf * big, axis=-1)
+        return jnp.minimum(shifted, vals[..., -1:])
+
+    cdf_below = last_leq(cdf)
+    cdf_above = first_gt(cdf)
+    bins_below = last_leq(depth_center)
+    bins_above = first_gt(depth_center)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)

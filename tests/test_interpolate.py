@@ -105,3 +105,33 @@ def test_quad_gather_matches_grid_sample(rng, align_corners, scale):
         jnp.asarray(feats), jnp.asarray(points), h, w, "border",
         align_corners))
     np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_map_matches_separate_gathers(rng):
+    """ONE fused tap == the two separate quad gathers (feats at 1/4 res
+    align_corners=False + full-res rgb align_corners=True, border)."""
+    from neuray_tpu.ops.interpolate import (
+        make_fused_scene_map, gather_bilinear_fused)
+    n, h, w, c = 2, 64, 48, 6
+    fh, fw = h // 4, w // 4
+    imgs = rng.randn(n, h, w, 3).astype(np.float32)
+    feats = rng.randn(n, fh, fw, c).astype(np.float32)
+    # points beyond the borders exercise the clamped windows
+    points = (rng.rand(n, 500, 2) * [w + 8, h + 8] - [4, 4]
+              ).astype(np.float32)
+    # force exact border/corner hits too
+    points[:, :4] = [[0, 0], [w - 1, h - 1], [0, h - 1], [w - 1, 0]]
+
+    fused = make_fused_scene_map(jnp.asarray(imgs), jnp.asarray(feats),
+                                 h, w)
+    got_feats, got_rgb = gather_bilinear_fused(
+        fused, jnp.asarray(points), h, w, c)
+
+    want_feats = np.asarray(grid_sample_nhwc(
+        jnp.asarray(feats), jnp.asarray(points), h, w, "border", False))
+    want_rgb = np.asarray(grid_sample_nhwc(
+        jnp.asarray(imgs), jnp.asarray(points), h, w, "border", True))
+    np.testing.assert_allclose(np.asarray(got_feats), want_feats,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_rgb), want_rgb,
+                               rtol=1e-4, atol=1e-5)

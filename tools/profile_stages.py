@@ -74,6 +74,10 @@ def main():
         return min(ts)
 
     results = {}
+    only = os.environ.get("PROFILE_STAGES")  # e.g. "dist,agg,sampling"
+
+    def want(tag):
+        return only is None or tag in only.split(",")
 
     def report(name, t_per_k, passes=2):
         per_frame = t_per_k / K * FRAME_CHUNKS * passes
@@ -90,7 +94,8 @@ def main():
                 poses, Ks, H, W, p.reshape(-1, 3))
             return sum(jnp.sum(o.astype(jnp.float32)) for o in out[1:3])
         return jnp.sum(jax.lax.map(one, pts))
-    report("projection", timeit(stage_proj, pts))
+    if want("proj"):
+        report("projection", timeit(stage_proj, pts))
 
     # B/C. the two quad gathers
     def make_gather_stage(quad, align):
@@ -101,10 +106,11 @@ def main():
                 return jnp.sum(out.astype(jnp.float32))
             return jnp.sum(jax.lax.map(one, prj_pts))
         return stage
-    report("gather rgb_quad(12ch)",
-           timeit(make_gather_stage(rgb_quad, True), prj_pts))
-    report("gather feats_quad(256)",
-           timeit(make_gather_stage(feats_quad, False), prj_pts))
+    if want("gather"):
+        report("gather rgb_quad(12ch)",
+               timeit(make_gather_stage(rgb_quad, True), prj_pts))
+        report("gather feats_quad(256)",
+               timeit(make_gather_stage(feats_quad, False), prj_pts))
 
     # D. dist decoder + compute_prob
     dd = name2dist_decoder["mixture_logistics"]({"use_vis": False},
@@ -130,7 +136,9 @@ def main():
             return (jnp.sum(alpha.astype(jnp.float32))
                     + jnp.sum(hit_prob.astype(jnp.float32)))
         return jnp.sum(jax.lax.map(one, (feats_in, prj_depth)))
-    report("dist decoder+prob", timeit(stage_dist, feats_in, prj_depth))
+    if want("dist"):
+        report("dist decoder+prob",
+               timeit(stage_dist, feats_in, prj_depth))
 
     # E. aggregation net (IBRNet + attention)
     agg = name2agg_net["default"]({"neuray_dim": 32, "sample_num": DN},
@@ -159,7 +167,8 @@ def main():
             return (jnp.sum(density.astype(jnp.float32))
                     + jnp.sum(colors.astype(jnp.float32)))
         return jnp.sum(jax.lax.map(one, feats_all))
-    report("agg net (IBRNet)", timeit(stage_agg, feats_all))
+    if want("agg"):
+        report("agg net (IBRNet)", timeit(stage_agg, feats_all))
 
     # F. sampling: coarse + fine CDF inversion
     hit_prob = jnp.asarray(
@@ -173,8 +182,9 @@ def main():
                                        False, None)
             return jnp.sum(fine)
         return jnp.sum(jax.lax.map(one, hit_prob))
-    report("sampling (coarse+fine)", timeit(stage_sampling, hit_prob),
-           passes=1)
+    if want("sampling"):
+        report("sampling (coarse+fine)", timeit(stage_sampling, hit_prob),
+               passes=1)
 
     # G. compositing
     alpha = jnp.asarray(rng.rand(K, 1, CHUNK, DN).astype(np.float32))
@@ -184,7 +194,8 @@ def main():
         def one(a):
             return jnp.sum(alpha_values2hit_prob(a))
         return jnp.sum(jax.lax.map(one, alpha))
-    report("compositing", timeit(stage_comp, alpha))
+    if want("comp"):
+        report("compositing", timeit(stage_comp, alpha))
 
     total = sum(results.values())
     print(f"{'SUM of stages':24s} -> {total:6.2f} s/frame", flush=True)
