@@ -100,6 +100,47 @@ class _Seq(nn.Module):
         return x
 
 
+class _SplitDense(nn.Module):
+    """Dense(features) over concat([broadcast(shared), per_view], -1)
+    WITHOUT materializing the broadcast concat: the kernel is sliced at
+    ``split`` and the shared part is contracted once per point instead
+    of once per (point, view). Parameter tree and numerics match the
+    plain Dense exactly (same kernel [split+pv, features] and bias)."""
+    features: int
+    split: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, shared, per_view):
+        kernel = self.param(
+            "kernel", he_normal,
+            (self.split + per_view.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype) if self.dtype else kernel
+        a = shared.astype(self.dtype) if self.dtype else shared
+        b = per_view.astype(self.dtype) if self.dtype else per_view
+        return (jnp.dot(a, k[:self.split]) + jnp.dot(b, k[self.split:])
+                + bias.astype(k.dtype))
+
+
+class _SplitSeq(nn.Module):
+    """_Seq((w0, w1), 'elu') over concat([broadcast(shared), per_view])
+    with the fc0 contraction split (see _SplitDense). Same param tree
+    as the _Seq it replaces: fc0/{kernel,bias}, fc1/{kernel,bias}."""
+    widths: tuple
+    split: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, shared, per_view):
+        x = _SplitDense(self.widths[0], self.split, self.dtype,
+                        name="fc0")(shared, per_view)
+        x = nn.elu(x)
+        x = nn.Dense(self.widths[1], kernel_init=he_normal,
+                     dtype=self.dtype, name="fc1")(x)
+        return nn.elu(x)
+
+
 class IBRNetWithNeuRay(nn.Module):
     """Inputs (per ray microbatch):
       rgb_feat    [b, dn, rfn, 3+in_feat_ch]   (rgb + image features)
@@ -132,12 +173,13 @@ class IBRNetWithNeuRay(nn.Module):
         mean1, var1 = fused_mean_variance(rgb_feat, weight)
         globalfeat = jnp.concatenate([mean0, var0, mean1, var1], axis=-1)
 
-        x = jnp.concatenate(
-            [jnp.broadcast_to(globalfeat,
-                              (*globalfeat.shape[:2], num_views,
-                               globalfeat.shape[-1])),
-             rgb_feat, neuray_feat], axis=-1)
-        x = _Seq((64, 32), "elu", dt, name="base_fc")(x)
+        # base_fc with its fc0 kernel split at the shared/per-view
+        # boundary: the 4*(3+f) global stats contract once per point,
+        # not per (point, view) — same param tree/numerics as the
+        # concat form, ~3x fewer MACs in the widest matmul of the net.
+        x = _SplitSeq((64, 32), globalfeat.shape[-1], dt,
+                      name="base_fc")(
+            globalfeat, jnp.concatenate([rgb_feat, neuray_feat], -1))
 
         x_vis = _Seq((32, 33), "elu", dt, name="vis_fc")(x * weight)
         x_res, vis = x_vis[..., :-1], x_vis[..., -1:]

@@ -198,8 +198,11 @@ class NeurayRenderer(nn.Module):
             out, prj_rgb = gather_bilinear_fused(
                 ref["fused_map"], prj_pts, h, w,
                 ref["ray_feats"].shape[-1])
-            prj_rgb = prj_rgb * mcol
-            out = out * mcol
+            # mask in the map dtype — an f32 mask would promote the
+            # wide bf16 feature rows to f32 materializations
+            mg = mcol.astype(out.dtype)
+            prj_rgb = prj_rgb * mg
+            out = out * mg
             nf = ref["ray_feats"].shape[-1]
             prj_ray_feats, prj_img_feats = out[..., :nf], out[..., nf:]
         elif "rgb_quad" in ref:

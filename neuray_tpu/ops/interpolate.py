@@ -191,7 +191,12 @@ def make_fused_scene_map(imgs: jnp.ndarray, feats: jnp.ndarray,
 
     imgs [n,h,w,3] (any float dtype); feats [n,fh,fw,c] ->
     fused [n, fh-1, fw-1, 4c + 147] with channels
-    [feats quad (4c) | rgb patch rows-major 7x7x3 (147)].
+    [feats quad (4c) | rgb patch CHANNEL-major 3x7x7 (147)].
+
+    The patch is packed channel-major ([c][dy][dx]) so the weighted
+    reconstruction in gather_bilinear_fused reduces over a 49-wide
+    minor axis; pixel-major ([dy][dx][c]) would put a 3-wide minor dim
+    on the VPU's 128 lanes (measured ~3.4ms/chunk of pure layout waste).
     """
     n, fh, fw, c = feats.shape
     ratio_x, ratio_y = (w - 1) / fw, (h - 1) / fh
@@ -211,8 +216,8 @@ def make_fused_scene_map(imgs: jnp.ndarray, feats: jnp.ndarray,
     rows = jnp.take(imgs, iy.reshape(-1), axis=1)     # n,(fh-1)*7,w,3
     patch = jnp.take(rows, ix.reshape(-1), axis=2)    # n,(fh-1)*7,(fw-1)*7,3
     patch = patch.reshape(n, fh - 1, _PATCH, fw - 1, _PATCH, 3)
-    patch = patch.transpose(0, 1, 3, 2, 4, 5).reshape(
-        n, fh - 1, fw - 1, _PATCH * _PATCH * 3)
+    patch = patch.transpose(0, 1, 3, 5, 2, 4).reshape(
+        n, fh - 1, fw - 1, 3 * _PATCH * _PATCH)
     return jnp.concatenate([quad, patch.astype(quad.dtype)], axis=-1)
 
 
@@ -240,8 +245,12 @@ def gather_bilinear_fused(fused: jnp.ndarray, points: jnp.ndarray,
     iy = jnp.clip(y * fh / (h - 1.0) - 0.5, 0.0, fh - 1.0)
     x0 = jnp.clip(jnp.floor(ix), 0.0, fw - 2.0)
     y0 = jnp.clip(jnp.floor(iy), 0.0, fh - 2.0)
-    tx = (ix - x0)[..., None]
-    ty = (iy - y0)[..., None]
+    # weights in the MAP's dtype: f32 weights would promote the whole
+    # gathered [*, 403] bf16 row to f32 (hundreds of MB of casts per
+    # chunk); bf16 weight error (~4e-3 relative) is the same scale as
+    # the bf16 storage error already accepted for the map.
+    tx = (ix - x0)[..., None].astype(fused.dtype)
+    ty = (iy - y0)[..., None].astype(fused.dtype)
     idx = (y0 * (fw - 1) + x0).astype(jnp.int32)
 
     flat = fused.reshape(n, (fh - 1) * (fw - 1), fused.shape[-1])
@@ -263,12 +272,18 @@ def gather_bilinear_fused(fused: jnp.ndarray, points: jnp.ndarray,
     offs = jnp.arange(_PATCH, dtype=jnp.float32)
     wx = nn_relu(1.0 - jnp.abs(dx[..., None] - offs))  # n,pn,7
     wy = nn_relu(1.0 - jnp.abs(dy[..., None] - offs))
+    # outer-product weights flattened to the patch's 49-wide minor
+    # axis: ONE lane-dim reduction per color channel (the patch is
+    # packed channel-major, see make_fused_scene_map). The hat weights
+    # are computed in f32 (exactness at integer offsets), then cast.
+    w49 = (wy[..., :, None] * wx[..., None, :]).reshape(
+        *wx.shape[:-1], _PATCH * _PATCH).astype(fused.dtype)
     patch = tap[..., c4:].reshape(
-        *tap.shape[:-1], _PATCH, _PATCH, 3).astype(wx.dtype)
-    # two small weighted reductions (separable bilinear); avoids an
-    # einsum lowering that materializes the [*, 7, 7, 3] outer product
-    tmp = jnp.sum(patch * wx[..., None, :, None], axis=-2)   # *,7,3
-    rgb = jnp.sum(tmp * wy[..., :, None], axis=-2)           # *,3
+        *tap.shape[:-1], 3, _PATCH * _PATCH)
+    # products stay in the map dtype; the 49-term reduction widens to
+    # f32 (bf16 accumulation over 49 terms would cost ~1e-2 absolute)
+    rgb = jnp.sum(patch * w49[..., None, :], axis=-1,
+                  dtype=jnp.float32).astype(fused.dtype)  # n,pn,3
     return feats, rgb
 
 

@@ -37,7 +37,8 @@ def main():
 
     from neuray_tpu.ops import geometry as G
     from neuray_tpu.ops import sampling as S
-    from neuray_tpu.ops.interpolate import gather_bilinear_quad
+    from neuray_tpu.ops.interpolate import (
+        gather_bilinear_quad, make_fused_scene_map, gather_bilinear_fused)
     from neuray_tpu.ops.compositing import alpha_values2hit_prob
     from neuray_tpu.models.dist_decoder import name2dist_decoder
     from neuray_tpu.models.agg_net import name2agg_net
@@ -111,6 +112,23 @@ def main():
                timeit(make_gather_stage(rgb_quad, True), prj_pts))
         report("gather feats_quad(256)",
                timeit(make_gather_stage(feats_quad, False), prj_pts))
+
+    # C2. the fused single-tap gather (what the renderer actually runs)
+    if want("fused"):
+        imgs_full = jnp.asarray(
+            rng.rand(RFN, H, W, 3).astype(np.float32), jnp.bfloat16)
+        feats_map = jnp.asarray(
+            rng.rand(RFN, fh, fw, 64).astype(np.float32), jnp.bfloat16)
+        fused = make_fused_scene_map(imgs_full, feats_map, H, W)
+
+        @jax.jit
+        def stage_fused(prj):
+            def one(pp):
+                f, rgb = gather_bilinear_fused(fused, pp, H, W, 64)
+                return (jnp.sum(f.astype(jnp.float32))
+                        + jnp.sum(rgb.astype(jnp.float32)))
+            return jnp.sum(jax.lax.map(one, prj))
+        report("gather fused(403ch)", timeit(stage_fused, prj_pts))
 
     # D. dist decoder + compute_prob
     dd = name2dist_decoder["mixture_logistics"]({"use_vis": False},
