@@ -43,8 +43,9 @@ def _baseline_rays_per_sec():
 
 H = W = 800
 RFN = 8
-RAY_CHUNK = 1024
-SEGMENT = 327680  # rays per device call (~18-25s at current speed; under the ~60s axon kill)
+RAY_CHUNK = int(os.environ.get("BENCH_CHUNK", 1024))
+# rays per device call (~18-25s at current speed; under the ~60s axon kill)
+SEGMENT = int(os.environ.get("BENCH_SEGMENT", 327680))
 DN = 64
 
 
