@@ -97,14 +97,15 @@ def main():
         renderer, keep_keys=("pixel_colors_nr", "pixel_colors_nr_fine"))
 
     def render_frame():
-        """Full frame via segmented calls; a device->host readback per
-        segment is the synchronization barrier (block_until_ready is
-        unreliable on the experimental axon platform)."""
-        outs = []
-        for coords in segments:
-            out = render_fn(params, ref, dict(que_base, coords=coords))
-            outs.append(np.asarray(
-                jax.device_get(out["pixel_colors_nr_fine"])))
+        """Full frame via segmented calls: dispatch ALL segments first
+        (async), then read back in order — readback of segment i
+        overlaps compute of i+1. The final device->host readback is the
+        synchronization barrier (block_until_ready is unreliable on the
+        experimental axon platform)."""
+        pending = [render_fn(params, ref, dict(que_base, coords=coords))
+                   for coords in segments]
+        outs = [np.asarray(jax.device_get(o["pixel_colors_nr_fine"]))
+                for o in pending]
         img = np.concatenate(outs, axis=1)[:, :n_rays]
         assert np.isfinite(img).all()
         return img
