@@ -58,7 +58,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from neuray_tpu.models.renderer import (
-        NeurayRenderer, RenderConfig, make_render_fn)
+        NeurayRenderer, RenderConfig, make_scene_encode_fn,
+        make_ray_render_fn)
     from neuray_tpu.data.synthetic import make_sphere_scene, make_query
 
     platform = jax.devices()[0].platform
@@ -93,16 +94,20 @@ def main():
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         ref, {**que_base, "coords": segments[0][:, :chunk]}, False)
 
-    render_fn = make_render_fn(
+    encode_fn = make_scene_encode_fn(renderer)
+    rays_fn = make_ray_render_fn(
         renderer, keep_keys=("pixel_colors_nr", "pixel_colors_nr_fine"))
 
     def render_frame():
-        """Full frame via segmented calls: dispatch ALL segments first
-        (async), then read back in order — readback of segment i
-        overlaps compute of i+1. The final device->host readback is the
-        synchronization barrier (block_until_ready is unreliable on the
-        experimental axon platform)."""
-        pending = [render_fn(params, ref, dict(que_base, coords=coords))
+        """Full frame: ONE scene encode (timed — matches the
+        reference's per-pose encode), then segmented ray calls:
+        dispatch ALL segments first (async), then read back in order —
+        readback of segment i overlaps compute of i+1. The final
+        device->host readback is the synchronization barrier
+        (block_until_ready is unreliable on the experimental axon
+        platform)."""
+        ref_c = encode_fn(params, ref)
+        pending = [rays_fn(params, ref_c, dict(que_base, coords=coords))
                    for coords in segments]
         outs = [np.asarray(jax.device_get(o["pixel_colors_nr_fine"]))
                 for o in pending]

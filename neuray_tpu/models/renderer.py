@@ -429,19 +429,21 @@ _DEFAULT_KEEP = ("pixel_colors_nr", "pixel_colors_nr_fine",
 _RENDER_FN_CACHE: dict = {}
 
 
-def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
-    """Build (and cache) the jitted full-image render function.
+def make_scene_encode_fn(renderer: NeurayRenderer):
+    """Jitted scene-encoding function: (params, ref, src) -> ref dict
+    augmented with img_feats / ray_feats / the fused gather map.
 
-    One jit program: scene encoding runs once; the chunk loop is a
-    compiled scan (the TPU analog of the reference's python ray-batch
-    loop, reference renderer.py:237-252).
+    Split out of the render program so callers rendering many ray
+    segments (or many poses) of the SAME scene pay the conv encoders
+    and gather-map build once, not once per device call (the reference
+    re-encodes per render call, renderer.py:228-236 — here the split
+    is free because the encoded ref is an explicit pytree).
     """
-    cache_key = (renderer.cfg, tuple(keep_keys))
+    cache_key = (renderer.cfg, "encode")
     if cache_key in _RENDER_FN_CACHE:
         return _RENDER_FN_CACHE[cache_key]
-    c = renderer.cfg
 
-    def impl(params, ref, que, src=None):
+    def impl(params, ref, src=None):
         ray_feats_raw = renderer.apply(
             params, ref, src, method=NeurayRenderer.initialize_ray_feats)
         img_feats, ray_feats = renderer.apply(
@@ -449,8 +451,22 @@ def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
         ref_c = dict(ref)
         ref_c["img_feats"] = img_feats
         ref_c["ray_feats"] = ray_feats
-        ref_c = renderer.build_gather_cache(ref_c)
+        return renderer.build_gather_cache(ref_c)
 
+    fn = jax.jit(impl)
+    _RENDER_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def make_ray_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
+    """Jitted chunked ray-loop over an ALREADY-ENCODED ref (from
+    make_scene_encode_fn): (params, ref_encoded, que) -> outputs."""
+    cache_key = (renderer.cfg, tuple(keep_keys), "rays")
+    if cache_key in _RENDER_FN_CACHE:
+        return _RENDER_FN_CACHE[cache_key]
+    c = renderer.cfg
+
+    def impl(params, ref_c, que):
         chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)
 
         def render_one(coords_chunk):
@@ -467,6 +483,24 @@ def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
         return outs
 
     fn = jax.jit(impl)
+    _RENDER_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
+    """Build (and cache) the full render function: scene encode + the
+    chunked ray loop (the TPU analog of the reference's python
+    ray-batch loop, reference renderer.py:237-252), composed from
+    make_scene_encode_fn and make_ray_render_fn as two jit programs."""
+    cache_key = (renderer.cfg, tuple(keep_keys))
+    if cache_key in _RENDER_FN_CACHE:
+        return _RENDER_FN_CACHE[cache_key]
+    encode_fn = make_scene_encode_fn(renderer)
+    rays_fn = make_ray_render_fn(renderer, keep_keys)
+
+    def fn(params, ref, que, src=None):
+        return rays_fn(params, encode_fn(params, ref, src), que)
+
     _RENDER_FN_CACHE[cache_key] = fn
     return fn
 

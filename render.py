@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from neuray_tpu.utils.config import load_cfg
 from neuray_tpu.models.renderer import (
-    NeurayRenderer, RenderConfig, make_render_fn)
+    NeurayRenderer, RenderConfig, make_render_fn, make_scene_encode_fn,
+    make_ray_render_fn)
 from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
 
 # stay below the ~60s single-program limit observed on tunneled TPU
@@ -27,12 +28,27 @@ from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
 RAYS_PER_CALL = 327680
 
 
-def segmented_render(render_fn, params, ref, que, src=None):
-    """Render a full frame in bounded-ray device calls."""
+def segmented_render(render_fn, params, ref, que, src=None, split=None):
+    """Render a full frame in bounded-ray device calls.
+
+    With ``split=(encode_fn, rays_fn)`` (single-device path) the scene
+    is encoded ONCE and the encoded ref is reused by every segment —
+    the conv encoders + gather-map build are per-scene work, not
+    per-segment work."""
+    if split is not None:
+        encode_fn, rays_fn = split
+        ref_c = encode_fn(params, ref, src)
+
+        def call(sub):
+            return rays_fn(params, ref_c, sub)
+    else:
+        def call(sub):
+            return render_fn(params, ref, sub, src)
+
     coords = que["coords"]
     n = coords.shape[1]
     if n <= RAYS_PER_CALL:
-        return render_fn(params, ref, que, src)
+        return jax.device_get(call(que))
     outs = []
     for i in range(0, n, RAYS_PER_CALL):
         sub = dict(que)
@@ -41,7 +57,7 @@ def segmented_render(render_fn, params, ref, que, src=None):
         if pad:
             chunk = jnp.pad(chunk, ((0, 0), (0, pad), (0, 0)), mode="edge")
         sub["coords"] = chunk
-        outs.append(jax.device_get(render_fn(params, ref, sub, src)))
+        outs.append(jax.device_get(call(sub)))
     merged = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1), *outs)
     return jax.tree.map(lambda x: x[:, :n], merged)
 from neuray_tpu.data.database import parse_database_name, get_database_split
@@ -140,12 +156,15 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
     keep = ["pixel_colors_nr", "pixel_colors_nr_fine"]
     if render_depth:
         keep += ["render_depth", "render_depth_fine"]
+    split = None
     if mesh.devices.size > 1:
         render_fn = make_sharded_render_fn(renderer, mesh, tuple(keep))
     else:
         # single device: the plain jit path avoids the manual-partition
-        # region overhead
+        # region overhead; split lets segments share one scene encode
         render_fn = make_render_fn(renderer, tuple(keep))
+        split = (make_scene_encode_fn(renderer),
+                 make_ray_render_fn(renderer, tuple(keep)))
 
     use_src_imgs = cfg.get("use_src_imgs", False) or \
         render_cfg.init_net_type == "cost_volume"
@@ -178,7 +197,7 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
         h, w = que_info.pop("shape")
         ref = jax.tree.map(jnp.asarray, ref_info)
         que = jax.tree.map(jnp.asarray, que_info)
-        out = segmented_render(render_fn, params, ref, que, src)
+        out = segmented_render(render_fn, params, ref, que, src, split)
         save_renderings(output_dir, qi, out, h, w)
         if render_depth:
             save_depth(output_dir, qi, out, h, w, que_depth_ranges[qi])

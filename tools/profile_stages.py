@@ -130,6 +130,48 @@ def main():
             return jnp.sum(jax.lax.map(one, prj))
         report("gather fused(403ch)", timeit(stage_fused, prj_pts))
 
+        # variant: fold ALL interpolation weights into one 403-wide
+        # per-tap vector -> one elementwise mul -> reshape-sums, to see
+        # if the 64-ch quad slices (lane-unaligned) are the overhead
+        fh2, fw2 = H // 4, W // 4
+        flat = fused.reshape(RFN, (fh2 - 1) * (fw2 - 1), fused.shape[-1])
+
+        def fused_v2(pp):
+            x, y = pp[..., 0], pp[..., 1]
+            ix = jnp.clip(x * fw2 / (W - 1.0) - 0.5, 0.0, fw2 - 1.0)
+            iy = jnp.clip(y * fh2 / (H - 1.0) - 0.5, 0.0, fh2 - 1.0)
+            x0 = jnp.clip(jnp.floor(ix), 0.0, fw2 - 2.0)
+            y0 = jnp.clip(jnp.floor(iy), 0.0, fh2 - 2.0)
+            tx, ty = ix - x0, iy - y0
+            idx = (y0 * (fw2 - 1) + x0).astype(jnp.int32)
+            tap = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            w4 = jnp.stack([(1 - tx) * (1 - ty), tx * (1 - ty),
+                            (1 - tx) * ty, tx * ty], -1)      # *,4
+            wq = jnp.broadcast_to(
+                w4[..., :, None], (*w4.shape, 64)).reshape(
+                    *w4.shape[:-1], 256)
+            dx = jnp.clip(x, 0.0, W - 1.0) - x0 * 4.02  # approx base (timing only)
+            dy = jnp.clip(y, 0.0, H - 1.0) - y0 * 4.02
+            offs = jnp.arange(7, dtype=jnp.float32)
+            wx = jnp.maximum(1.0 - jnp.abs(dx[..., None] - offs), 0.0)
+            wy = jnp.maximum(1.0 - jnp.abs(dy[..., None] - offs), 0.0)
+            w49 = (wy[..., :, None] * wx[..., None, :]).reshape(
+                *wx.shape[:-1], 49)
+            w403 = jnp.concatenate(
+                [wq, jnp.tile(w49, (1, 1, 3))], -1).astype(tap.dtype)
+            prod = tap * w403
+            feats = jnp.sum(prod[..., :256].reshape(
+                *prod.shape[:-1], 4, 64), axis=-2)
+            rgb = jnp.sum(prod[..., 256:].reshape(
+                *prod.shape[:-1], 3, 49), axis=-1, dtype=jnp.float32)
+            return (jnp.sum(feats.astype(jnp.float32))
+                    + jnp.sum(rgb))
+
+        @jax.jit
+        def stage_fused2(prj):
+            return jnp.sum(jax.lax.map(fused_v2, prj))
+        report("gather fused v2(1-mul)", timeit(stage_fused2, prj_pts))
+
     # D. dist decoder + compute_prob
     dd = name2dist_decoder["mixture_logistics"]({"use_vis": False},
                                                 dtype=jnp.bfloat16)
