@@ -125,6 +125,47 @@ def test_render_full_matches_chunked(scene_and_params):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_split_encode_matches_composed(scene_and_params):
+    """make_scene_encode_fn + make_ray_render_fn == make_render_fn
+    bit-for-bit (the split must not change numerics)."""
+    from neuray_tpu.models.renderer import (
+        make_render_fn, make_scene_encode_fn, make_ray_render_fn)
+    renderer, params, ref, que = scene_and_params
+    keep = ("pixel_colors_nr", "pixel_colors_nr_fine")
+    composed = make_render_fn(renderer, keep)(params, ref, que)
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+    split = make_ray_render_fn(renderer, keep)(params, ref_c, que)
+    for k in keep:
+        np.testing.assert_array_equal(np.asarray(composed[k]),
+                                      np.asarray(split[k]))
+
+
+def test_coarse_feats_fallback_matches_fused(scene_and_params):
+    """When the feature grid is too coarse for the fused map (ratio > 4)
+    the renderer falls back to separate quad maps; both paths must agree
+    on scenes where either is usable."""
+    renderer, params, ref, que = scene_and_params
+    out_fused = renderer.apply(params, ref, que, False)
+    # force the fallback by monkeypatching the cache builder's choice:
+    # build quad maps directly at the same resolutions
+    from neuray_tpu.ops.interpolate import make_quad_map
+
+    class _NoFused(NeurayRenderer):
+        def build_gather_cache(self, ref_d):
+            ref_d = dict(ref_d)
+            feats = jnp.concatenate(
+                [ref_d["ray_feats"], ref_d["img_feats"]], axis=-1)
+            ref_d["rgb_quad"] = make_quad_map(ref_d["imgs"])
+            ref_d["feats_quad"] = make_quad_map(feats)
+            return ref_d
+
+    out_quad = _NoFused(CFG).apply(params, ref, que, False)
+    np.testing.assert_allclose(
+        np.asarray(out_fused["pixel_colors_nr_fine"]),
+        np.asarray(out_quad["pixel_colors_nr_fine"]),
+        rtol=1e-4, atol=1e-5)
+
+
 def test_gradients_flow(scene_and_params):
     renderer, params, ref, que = scene_and_params
 
