@@ -108,6 +108,8 @@ class LpipsVgg:
         self.reason = None
 
     def __call__(self, img0, img1):
+        if not self.ok:
+            raise RuntimeError(f"LPIPS unavailable: {self.reason}")
         torch = self.torch
         shift = torch.from_numpy(_SHIFT).view(1, 3, 1, 1)
         scale = torch.from_numpy(_SCALE).view(1, 3, 1, 1)

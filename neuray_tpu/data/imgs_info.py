@@ -200,4 +200,13 @@ def get_coords_mask(que_mask: np.ndarray, train_ray_num: int,
         coords = np.concatenate([coords0, coords1], 0)
     else:
         coords = coords0
+    if coords.shape[0] < train_ray_num:
+        # tiny foreground masks (< min_pos_num pixels) would otherwise
+        # yield a short batch — a NEW ray-count shape that forces a
+        # fresh minutes-long XLA compile of the train step. Pad by
+        # resampling with replacement to keep the shape static.
+        pool = np.concatenate([xy0, xy1], 0)
+        extra = pool[rng.randint(0, pool.shape[0],
+                                 train_ray_num - coords.shape[0])]
+        coords = np.concatenate([coords, extra], 0)
     return coords

@@ -404,24 +404,24 @@ class BlendedMVSDatabase(BaseDatabase):
 
     @staticmethod
     def load_pfm(file):
-        """PFM image reader (reference :363-388)."""
-        header = file.readline().decode("UTF-8").rstrip()
-        if header == "PF":
-            color = True
-        elif header == "Pf":
-            color = False
-        else:
-            raise ValueError("Not a PFM file.")
-        dim_match = re.match(r"^(\d+)\s(\d+)\s$",
-                             file.readline().decode("UTF-8"))
-        if not dim_match:
-            raise ValueError("Malformed PFM header.")
-        width, height = map(int, dim_match.groups())
-        scale = float(file.readline().decode("UTF-8").rstrip())
-        data = np.frombuffer(file.read(),
-                             "<f" if scale < 0 else ">f")
-        shape = (height, width, 3) if color else (height, width)
-        return cv2.flip(np.reshape(data, shape), 0)
+        """Minimal PFM reader (behavior of reference :363-388).
+
+        Format: ASCII magic 'PF' (rgb) / 'Pf' (gray), a dims line, a
+        scale line whose SIGN encodes endianness, then raw f32 rows
+        stored bottom-up."""
+        magic = file.readline().decode().strip()
+        if magic not in ("PF", "Pf"):
+            raise ValueError(f"bad PFM magic {magic!r}")
+        dims = file.readline().decode()
+        m = re.match(r"^(\d+)\s(\d+)\s$", dims)
+        if m is None:
+            raise ValueError(f"bad PFM dims line {dims!r}")
+        w, h = int(m.group(1)), int(m.group(2))
+        endian_scale = float(file.readline().decode().strip())
+        px = np.frombuffer(file.read(),
+                           "<f" if endian_scale < 0 else ">f")
+        img = px.reshape((h, w, 3) if magic == "PF" else (h, w))
+        return img[::-1].copy()  # rows are bottom-up
 
     @staticmethod
     def load_mvs_cams(fn):
@@ -510,10 +510,19 @@ def scan_scene_names(database_type: str,
         if database_type == "dtu_train":
             fns = [fn for fn in os.listdir(f"{root}/dtu_train")
                    if fn.startswith("scan")]
-            test_scans = set()
-            if os.path.exists("configs/dtu_test_scans.txt"):
-                test_scans = set(np.loadtxt("configs/dtu_test_scans.txt",
-                                            dtype=str).tolist())
+            # exclusion list resolved against the REPO root, never the
+            # CWD, and required: a missing file would silently leak the
+            # held-out dtu_test scans into the training mixture
+            # (reference asset.py:30-40 crashes loudly instead).
+            repo = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            scans_fn = os.path.join(repo, "configs", "dtu_test_scans.txt")
+            if not os.path.exists(scans_fn):
+                raise FileNotFoundError(
+                    f"{scans_fn} missing: refusing to build the "
+                    "dtu_train scene list without the test-scan "
+                    "exclusion list (eval contamination)")
+            test_scans = set(np.loadtxt(scans_fn, dtype=str).tolist())
             return sorted(f"dtu_train/{fn}" for fn in fns
                           if fn not in test_scans)
         if database_type == "real_iconic":

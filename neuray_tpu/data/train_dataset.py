@@ -31,67 +31,65 @@ from neuray_tpu.data.view_select import compute_nearest_camera_indices
 
 
 def select_train_ids_for_real_estate(img_ids, rng):
-    """Sliding-window frame selection for RealEstate10K video clips
-    (reference train_dataset.py:12-27). Returns (que_id, ref_ids)."""
-    num_frames = len(img_ids)
-    window_size = 32
-    shift = rng.randint(low=-1, high=2)
-    id_render = rng.randint(low=4, high=num_frames - 4 - 1)
-
-    right_bound = min(id_render + window_size + shift, num_frames - 1)
-    left_bound = max(0, right_bound - 2 * window_size)
-    candidate_ids = np.arange(left_bound, right_bound)
-    if rng.choice([0, 1], p=[0.01, 0.99]):
-        candidate_ids = candidate_ids[candidate_ids != id_render]
-    id_feat = rng.choice(candidate_ids,
-                         size=min(8, len(candidate_ids)), replace=False)
-    img_ids = np.asarray(img_ids)
-    return img_ids[id_render], img_ids[id_feat]
+    """Pick (query frame, <=8 source frames) from a RealEstate10K video
+    clip. Behavior of reference train_dataset.py:12-27: sources come
+    from a ~64-frame window roughly centered on the query (right edge
+    at query+32, jittered by one frame), drawn without replacement; the
+    query frame itself stays a candidate with probability 1%."""
+    n = len(img_ids)
+    que_i = rng.randint(4, n - 5)
+    hi = min(que_i + 32 + rng.randint(-1, 2), n - 1)
+    pool = np.arange(max(0, hi - 64), hi)
+    if rng.random_sample() >= 0.01:
+        pool = pool[pool != que_i]
+    src_i = rng.choice(pool, size=min(8, pool.size), replace=False)
+    ids = np.asarray(img_ids)
+    return ids[que_i], ids[src_i]
 
 
 def add_depth_offset(depth, mask, region_min, region_max, offset_min,
                      offset_max, noise_ratio, depth_length, rng):
-    """Perturb a random mask-anchored rectangle of the depth map
-    (reference train_dataset.py:29-42). In-place on ``depth`` [h,w]."""
-    coords = np.stack(np.nonzero(mask), -1)[:, (1, 0)]
-    if coords.shape[0] == 0:
+    """Corrupt a random rectangle of masked depth pixels, in place.
+
+    Behavior of reference train_dataset.py:29-42: the rectangle is
+    centered on a random masked pixel with half-sizes
+    U(region_min, region_max) x the mask's bounding-box extent; every
+    masked pixel inside it gets a shared +-U(offset_min, offset_max) *
+    depth_length shift (sign flipped with prob 0.5) plus per-pixel
+    U(-noise_ratio, noise_ratio) * depth_length noise."""
+    ys, xs = np.nonzero(mask)
+    if xs.size == 0:
         return
-    length = np.max(coords, 0) - np.min(coords, 0)
-    center = coords[rng.randint(0, coords.shape[0])]
-    lx, ly = rng.uniform(region_min, region_max, 2) * length
-    diff = coords - center[None, :]
-    sel = coords[(np.abs(diff[:, 0]) < lx) & (np.abs(diff[:, 1]) < ly)]
-    global_offset = rng.uniform(offset_min, offset_max) * depth_length
+    k = rng.randint(0, xs.size)
+    half_x, half_y = rng.uniform(region_min, region_max, 2) * (
+        xs.max() - xs.min(), ys.max() - ys.min())
+    inside = ((np.abs(xs - xs[k]) < half_x)
+              & (np.abs(ys - ys[k]) < half_y))
+    base = rng.uniform(offset_min, offset_max) * depth_length
     if rng.random_sample() < 0.5:
-        global_offset = -global_offset
-    local = rng.uniform(-noise_ratio, noise_ratio,
-                        sel.shape[0]) * depth_length + global_offset
-    depth[sel[:, 1], sel[:, 0]] += local
+        base = -base
+    noise = rng.uniform(-noise_ratio, noise_ratio, int(inside.sum()))
+    depth[ys[inside], xs[inside]] += base + noise * depth_length
 
 
 def build_src_imgs_info_select(database, ref_ids, ref_ids_all,
                                cost_volume_nn_num, pad_interval=-1):
-    """Union of the selected ref views and their cost-volume source
-    views (reference train_dataset.py:44-64). Returns
-    (union imgs_info, ref_cv_idx [rfn,nn], ref_real_idx [rfn])."""
-    ref_idx_exp = compute_nearest_camera_indices(database, ref_ids,
-                                                 ref_ids_all)
-    ref_idx_exp = ref_idx_exp[:, 1:1 + cost_volume_nn_num]
-    ref_ids_all = np.asarray(ref_ids_all)
-    ref_ids_exp = ref_ids_all[ref_idx_exp]            # rfn,nn
-    ref_ids = np.asarray(ref_ids)
-    ref_ids_in = np.unique(np.concatenate([ref_ids_exp.flatten(),
-                                           ref_ids]))  # rfn'
-    mask0 = ref_ids_in[None, :] == ref_ids[:, None]
-    ref_idx_, ref_idx = np.nonzero(mask0)
-    ref_real_idx = ref_idx[np.argsort(ref_idx_)]
+    """One imgs_info over the union of the selected ref views and each
+    view's cost-volume source views (behavior of reference
+    train_dataset.py:44-64). Returns (union imgs_info,
+    src-view indices [rfn, nn] into the union, ref indices [rfn]).
 
-    rfn, nn = ref_ids_exp.shape
-    mask1 = ref_ids_in[None, :] == ref_ids_exp.flatten()[:, None]
-    ref_cv_idx_, ref_cv_idx = np.nonzero(mask1)
-    ref_cv_idx = ref_cv_idx[np.argsort(ref_cv_idx_)].reshape(rfn, nn)
+    The index arrays let the cost-volume init net address its per-ref
+    source images inside the single padded union batch."""
+    order = compute_nearest_camera_indices(database, ref_ids, ref_ids_all)
+    src_ids = np.asarray(ref_ids_all)[order[:, 1:1 + cost_volume_nn_num]]
+    sel_ids = np.asarray(ref_ids)
+    union_ids = np.unique(np.concatenate([src_ids.ravel(), sel_ids]))
+    # np.unique sorts, so positions in the union are searchsorted hits
+    ref_real_idx = np.searchsorted(union_ids, sel_ids)
+    ref_cv_idx = np.searchsorted(union_ids, src_ids)     # rfn,nn
     is_aligned = not database.database_name.startswith("space")
-    union_info = build_imgs_info(database, list(ref_ids_in), pad_interval,
+    union_info = build_imgs_info(database, list(union_ids), pad_interval,
                                  is_aligned, replace_none_depth=True)
     return union_info, ref_cv_idx, ref_real_idx
 

@@ -27,7 +27,8 @@ from neuray_tpu.ops import sampling as S
 from neuray_tpu.ops.compositing import alpha_values2hit_prob, composite_colors
 from neuray_tpu.ops.interpolate import (
     grid_sample_nhwc, interpolate_feature_map, make_quad_map,
-    gather_bilinear_quad, make_fused_scene_map, gather_bilinear_fused)
+    gather_bilinear_quad, make_fused_scene_map, gather_bilinear_fused,
+    fused_map_supported)
 from neuray_tpu.ops import sh as SH
 from neuray_tpu.models.resunet import ResUNetLight
 from neuray_tpu.models.vis_encoder import name2vis_encoder
@@ -153,7 +154,7 @@ class NeurayRenderer(nn.Module):
             fh, fw = ref["ray_feats"].shape[1:3]
             feats = cast(jnp.concatenate(
                 [ref["ray_feats"], ref["img_feats"]], axis=-1))
-            if 1.5 * max((w - 1) / fw, (h - 1) / fh) + 1.0 <= 7.0:
+            if fused_map_supported(h, w, fh, fw):
                 # ONE gather tap per (point, view): feats quad + packed
                 # full-res rgb patch (see ops.interpolate.
                 # make_fused_scene_map — the gather is index-rate bound,
@@ -196,8 +197,7 @@ class NeurayRenderer(nn.Module):
         mcol = maskf[..., None]
         if "fused_map" in ref:
             out, prj_rgb = gather_bilinear_fused(
-                ref["fused_map"], prj_pts, h, w,
-                ref["ray_feats"].shape[-1])
+                ref["fused_map"], prj_pts, h, w)
             # mask in the map dtype — an f32 mask would promote the
             # wide bf16 feature rows to f32 materializations
             mg = mcol.astype(out.dtype)

@@ -177,6 +177,16 @@ def _patch_base(cell: jnp.ndarray, ratio: float, size: int,
 _PATCH = 7  # full-res rgb window per 1/4-res cell
 
 
+def fused_map_supported(h: int, w: int, fh: int, fw: int) -> bool:
+    """Whether a (h, w) image with a (fh, fw) feature grid fits the
+    fused map's fixed rgb patch: the _PATCH-wide window must cover cell
+    0's clipped span of 1.5*ratio pixels plus the bilinear +1 tap.
+    Callers (renderer.build_gather_cache) use this to route to the
+    separate-quad fallback instead of tripping the assert below."""
+    ratio = max((w - 1) / fw, (h - 1) / fh)
+    return 1.5 * ratio + 1.0 <= _PATCH
+
+
 def make_fused_scene_map(imgs: jnp.ndarray, feats: jnp.ndarray,
                          h: int, w: int) -> jnp.ndarray:
     """Pack the feats 2x2 quad AND the full-res rgb 7x7 patch into one
@@ -200,9 +210,7 @@ def make_fused_scene_map(imgs: jnp.ndarray, feats: jnp.ndarray,
     """
     n, fh, fw, c = feats.shape
     ratio_x, ratio_y = (w - 1) / fw, (h - 1) / fh
-    # a 7-wide window covers cell 0's clipped span of 1.5*ratio pixels
-    # plus the bilinear +1 tap
-    assert 1.5 * max(ratio_x, ratio_y) + 1.0 <= _PATCH, (
+    assert fused_map_supported(h, w, fh, fw), (
         f"feature grid too coarse for the fused map: ratio "
         f"{(ratio_x, ratio_y)}")
     quad = make_quad_map(feats)                       # n,fh-1,fw-1,4c
@@ -222,9 +230,9 @@ def make_fused_scene_map(imgs: jnp.ndarray, feats: jnp.ndarray,
 
 
 def gather_bilinear_fused(fused: jnp.ndarray, points: jnp.ndarray,
-                          h: int, w: int, c: int):
-    """One tap from a make_fused_scene_map map -> (feats [n,pn,c*?],
-    rgb [n,pn,3]).
+                          h: int, w: int):
+    """One tap from a make_fused_scene_map map -> (feats [n,pn,c],
+    rgb [n,pn,3]); c is derived from the map's channel layout.
 
     feats reproduce gather_bilinear_quad(feats_quad, pts, h, w, False);
     rgb reproduces gather_bilinear_quad(rgb_quad, pts, h, w, True) (the
@@ -270,8 +278,8 @@ def gather_bilinear_fused(fused: jnp.ndarray, points: jnp.ndarray,
     dx = jnp.clip(x, 0.0, w - 1.0) - base_x            # in [0, 6]
     dy = jnp.clip(y, 0.0, h - 1.0) - base_y
     offs = jnp.arange(_PATCH, dtype=jnp.float32)
-    wx = nn_relu(1.0 - jnp.abs(dx[..., None] - offs))  # n,pn,7
-    wy = nn_relu(1.0 - jnp.abs(dy[..., None] - offs))
+    wx = jnp.maximum(1.0 - jnp.abs(dx[..., None] - offs), 0.0)  # n,pn,7
+    wy = jnp.maximum(1.0 - jnp.abs(dy[..., None] - offs), 0.0)
     # outer-product weights flattened to the patch's 49-wide minor
     # axis: ONE lane-dim reduction per color channel (the patch is
     # packed channel-major, see make_fused_scene_map). The hat weights
@@ -285,10 +293,6 @@ def gather_bilinear_fused(fused: jnp.ndarray, points: jnp.ndarray,
     rgb = jnp.sum(patch * w49[..., None, :], axis=-1,
                   dtype=jnp.float32).astype(fused.dtype)  # n,pn,3
     return feats, rgb
-
-
-def nn_relu(x):
-    return jnp.maximum(x, 0.0)
 
 
 def gather_bilinear_quad(quad: jnp.ndarray, points: jnp.ndarray,

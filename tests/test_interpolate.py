@@ -125,7 +125,7 @@ def test_fused_map_matches_separate_gathers(rng):
     fused = make_fused_scene_map(jnp.asarray(imgs), jnp.asarray(feats),
                                  h, w)
     got_feats, got_rgb = gather_bilinear_fused(
-        fused, jnp.asarray(points), h, w, c)
+        fused, jnp.asarray(points), h, w)
 
     want_feats = np.asarray(grid_sample_nhwc(
         jnp.asarray(feats), jnp.asarray(points), h, w, "border", False))

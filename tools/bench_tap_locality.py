@@ -92,7 +92,7 @@ def main():
     @jax.jit
     def run(prj):
         def one(pp):
-            f, rgb = gather_bilinear_fused(fused, pp, H, W, 64)
+            f, rgb = gather_bilinear_fused(fused, pp, H, W)
             return (jnp.sum(f.astype(jnp.float32))
                     + jnp.sum(rgb.astype(jnp.float32)))
         return jnp.sum(jax.lax.map(one, prj))
