@@ -518,7 +518,11 @@ def scan_scene_names(database_type: str,
                 os.path.abspath(__file__))))
             scans_fn = os.path.join(repo, "configs", "dtu_test_scans.txt")
             if not os.path.exists(scans_fn):
-                raise FileNotFoundError(
+                # RuntimeError, NOT FileNotFoundError: the dataset-dir
+                # handler below swallows FileNotFoundError (missing
+                # dataset == empty list), and this refusal must
+                # propagate loudly past it.
+                raise RuntimeError(
                     f"{scans_fn} missing: refusing to build the "
                     "dtu_train scene list without the test-scan "
                     "exclusion list (eval contamination)")

@@ -192,6 +192,21 @@ def test_dtu_train_database(data_root, rng):
     assert nr[0] == np.float32(0.8) and nr[1] == 4.0
 
 
+def test_dtu_train_missing_exclusion_list_is_loud(data_root, monkeypatch):
+    """A missing configs/dtu_test_scans.txt must ABORT scene scanning,
+    not silently drop dtu_train from the training mixture: the
+    missing-dataset-dir handler swallows FileNotFoundError, so the
+    refusal must be a different exception type."""
+    (data_root / "dtu_train" / "scan1").mkdir(parents=True)
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        T.os.path, "exists",
+        lambda p: False if p.endswith("dtu_test_scans.txt")
+        else real_exists(p))
+    with pytest.raises(RuntimeError, match="dtu_test_scans"):
+        T.scan_scene_names("dtu_train")
+
+
 def test_blended_mvs_database(data_root, rng):
     uid = T.BlendedMVSDatabase.name2uid["santa"]
     scene = data_root / "blended-mvs" / uid
