@@ -32,14 +32,19 @@ REF_GPU_OVER_CPU = 100.0  # generous GPU-vs-1-core-CPU allowance
 
 
 def _baseline_rays_per_sec():
+    """Returns (baseline, kind, raw_measured_cpu, multiplier): the raw
+    measured CPU number and the GPU-allowance multiplier are reported
+    separately so consumers can recompute the ratio under their own
+    GPU assumption."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "baseline_measured.json")
     try:
         with open(path) as f:
             measured = json.load(f)["reference_rays_per_sec"]
-        return measured * REF_GPU_OVER_CPU, "measured_cpu_x100"
+        return (measured * REF_GPU_OVER_CPU, "measured_cpu_x100",
+                measured, REF_GPU_OVER_CPU)
     except (OSError, KeyError, ValueError):
-        return ESTIMATED_REF_RAYS_PER_SEC, "estimate"
+        return ESTIMATED_REF_RAYS_PER_SEC, "estimate", None, None
 
 H = W = 800
 RFN = 8
@@ -125,7 +130,7 @@ def main():
     dt = min(times)
     rays_per_sec = n_rays / dt
 
-    baseline, baseline_kind = _baseline_rays_per_sec()
+    baseline, baseline_kind, raw_cpu, mult = _baseline_rays_per_sec()
     result = {
         "metric": f"rays/sec/chip ({h}x{w} render, {rfn} views, "
                   f"{dn}+{dn} samples, {platform})",
@@ -134,6 +139,9 @@ def main():
         "vs_baseline": round(rays_per_sec / baseline, 3),
         "baseline": baseline_kind,
     }
+    if raw_cpu is not None:
+        result["baseline_ref_cpu_rays_per_sec"] = raw_cpu
+        result["baseline_gpu_over_cpu_allowance"] = mult
     print(json.dumps(result))
 
 

@@ -28,6 +28,7 @@ from neuray_tpu.ops.compositing import alpha_values2hit_prob, composite_colors
 from neuray_tpu.ops.interpolate import (
     grid_sample_nhwc, interpolate_feature_map, make_quad_map,
     gather_bilinear_quad, make_fused_scene_map, gather_bilinear_fused,
+    make_fused_scene_map_u8, gather_bilinear_fused_u8,
     fused_map_supported)
 from neuray_tpu.ops import sh as SH
 from neuray_tpu.models.resunet import ResUNetLight
@@ -68,6 +69,11 @@ class RenderConfig:
     depth_loss_coords_num: int = 8192
 
     use_bf16: bool = False         # bf16 conv/agg compute on the MXU
+    # "none" | "u8": quantize the fused gather map to uint8 rows
+    # (403B < the 512B index-rate knee; rgb exact for 8-bit sources,
+    # feats per-channel absmax — quality quantified in
+    # tools/check_bf16_quality.py). Only takes effect with use_bf16.
+    gather_quant: str = "none"
 
     @classmethod
     def from_cfg(cls, cfg: Dict[str, Any]) -> "RenderConfig":
@@ -154,7 +160,14 @@ class NeurayRenderer(nn.Module):
             fh, fw = ref["ray_feats"].shape[1:3]
             feats = cast(jnp.concatenate(
                 [ref["ray_feats"], ref["img_feats"]], axis=-1))
-            if fused_map_supported(h, w, fh, fw):
+            if (self.cfg.gather_quant == "u8" and dt is not None
+                    and fused_map_supported(h, w, fh, fw)):
+                fused, scale, offset = make_fused_scene_map_u8(
+                    ref["imgs"], feats, h, w)
+                ref["fused_map_u8"] = fused
+                ref["fused_scale"] = scale
+                ref["fused_offset"] = offset
+            elif fused_map_supported(h, w, fh, fw):
                 # ONE gather tap per (point, view): feats quad + packed
                 # full-res rgb patch (see ops.interpolate.
                 # make_fused_scene_map — the gather is index-rate bound,
@@ -195,7 +208,16 @@ class NeurayRenderer(nn.Module):
         maskf = prj_mask.astype(jnp.float32)
 
         mcol = maskf[..., None]
-        if "fused_map" in ref:
+        if "fused_map_u8" in ref:
+            out, prj_rgb = gather_bilinear_fused_u8(
+                ref["fused_map_u8"], ref["fused_scale"],
+                ref["fused_offset"], prj_pts, h, w)
+            mg = mcol.astype(out.dtype)
+            prj_rgb = prj_rgb * mg
+            out = out * mg
+            nf = ref["ray_feats"].shape[-1]
+            prj_ray_feats, prj_img_feats = out[..., :nf], out[..., nf:]
+        elif "fused_map" in ref:
             out, prj_rgb = gather_bilinear_fused(
                 ref["fused_map"], prj_pts, h, w)
             # mask in the map dtype — an f32 mask would promote the

@@ -295,6 +295,108 @@ def gather_bilinear_fused(fused: jnp.ndarray, points: jnp.ndarray,
     return feats, rgb
 
 
+def make_fused_scene_map_u8(imgs: jnp.ndarray, feats: jnp.ndarray,
+                            h: int, w: int):
+    """uint8-quantized fused scene map: same layout as
+    make_fused_scene_map but 1 byte/channel, dropping the gather row
+    from 806B (bf16) to 403B — under the measured 512B knee where the
+    TPU gather is purely index-rate bound (+16% above it,
+    tools/bench_gather_rowsize.py).
+
+    Quantization scheme:
+      * feats quad: symmetric per-BASE-channel absmax scaling around
+        zero-point 128 (the 4 quad blocks hold shifted copies of the
+        same channels, so they share scales). The bilinear lerp runs on
+        the raw u8 codes (weights sum to 1), and the affine dequant
+        (x*scale - 128*scale) applies ONCE per output channel.
+      * rgb patch: exact-255 quantization — LOSSLESS for images that
+        came from 8-bit sources (all real datasets); synthetic float
+        images round to 1/255.
+
+    Returns (fused_u8 [n,fh-1,fw-1,4c+147], scale [c] bf16,
+    offset [c] bf16) with offset = 128*scale.
+    """
+    feats = feats.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(feats), axis=(0, 1, 2))
+    scale = jnp.maximum(absmax, 1e-8) / 127.0                 # [c]
+    q = jnp.clip(jnp.round(feats / scale) + 128.0, 0.0, 255.0)
+    quad = make_quad_map(q.astype(jnp.uint8))                 # n,fh-1,fw-1,4c
+
+    n, fh, fw, c = feats.shape
+    imgs_u8 = jnp.clip(jnp.round(imgs.astype(jnp.float32) * 255.0),
+                       0.0, 255.0).astype(jnp.uint8)
+    kx = jnp.arange(fw - 1)
+    ky = jnp.arange(fh - 1)
+    ratio_x, ratio_y = (w - 1) / fw, (h - 1) / fh
+    assert fused_map_supported(h, w, fh, fw)
+    base_x = _patch_base(kx, ratio_x, w, _PATCH).astype(jnp.int32)
+    base_y = _patch_base(ky, ratio_y, h, _PATCH).astype(jnp.int32)
+    iy = base_y[:, None] + jnp.arange(_PATCH)[None]
+    ix = base_x[:, None] + jnp.arange(_PATCH)[None]
+    rows = jnp.take(imgs_u8, iy.reshape(-1), axis=1)
+    patch = jnp.take(rows, ix.reshape(-1), axis=2)
+    patch = patch.reshape(n, fh - 1, _PATCH, fw - 1, _PATCH, 3)
+    patch = patch.transpose(0, 1, 3, 5, 2, 4).reshape(
+        n, fh - 1, fw - 1, 3 * _PATCH * _PATCH)
+    fused = jnp.concatenate([quad, patch], axis=-1)
+    scale_bf = scale.astype(jnp.bfloat16)
+    # offset computed FROM the bf16 scale (x128 = exponent shift, exact
+    # in bf16) so dequant has zero constant bias vs the stored scale
+    return fused, scale_bf, scale_bf * jnp.bfloat16(128.0)
+
+
+def gather_bilinear_fused_u8(fused: jnp.ndarray, scale: jnp.ndarray,
+                             offset: jnp.ndarray, points: jnp.ndarray,
+                             h: int, w: int):
+    """One 403-byte tap from a make_fused_scene_map_u8 map ->
+    (feats [n,pn,c] bf16, rgb [n,pn,3] bf16). Same interpolation math
+    as gather_bilinear_fused, on u8 codes (exact in bf16: integers
+    <=255 have exact bf16 representations), dequantized once at the
+    end."""
+    n = fused.shape[0]
+    fh, fw = fused.shape[1] + 1, fused.shape[2] + 1
+    c4 = fused.shape[-1] - _PATCH * _PATCH * 3
+    bf = jnp.bfloat16
+
+    x = points[..., 0]
+    y = points[..., 1]
+    ix = jnp.clip(x * fw / (w - 1.0) - 0.5, 0.0, fw - 1.0)
+    iy = jnp.clip(y * fh / (h - 1.0) - 0.5, 0.0, fh - 1.0)
+    x0 = jnp.clip(jnp.floor(ix), 0.0, fw - 2.0)
+    y0 = jnp.clip(jnp.floor(iy), 0.0, fh - 2.0)
+    tx = (ix - x0)[..., None].astype(bf)
+    ty = (iy - y0)[..., None].astype(bf)
+    idx = (y0 * (fw - 1) + x0).astype(jnp.int32)
+
+    flat = fused.reshape(n, (fh - 1) * (fw - 1), fused.shape[-1])
+    tap = jnp.take_along_axis(flat, idx[..., None], axis=1).astype(bf)
+
+    qc = c4 // 4
+    f00, f01, f10, f11 = (tap[..., :qc], tap[..., qc:2 * qc],
+                          tap[..., 2 * qc:3 * qc], tap[..., 3 * qc:c4])
+    top = f00 * (1 - tx) + f01 * tx
+    bot = f10 * (1 - tx) + f11 * tx
+    lerp = top * (1 - ty) + bot * ty
+    # affine dequant: weights sum to 1, so the zero-point folds into a
+    # single per-channel offset
+    feats = lerp * scale - offset
+
+    ratio_x, ratio_y = (w - 1) / fw, (h - 1) / fh
+    base_x = _patch_base(x0, ratio_x, w, _PATCH)
+    base_y = _patch_base(y0, ratio_y, h, _PATCH)
+    dx = jnp.clip(x, 0.0, w - 1.0) - base_x
+    dy = jnp.clip(y, 0.0, h - 1.0) - base_y
+    offs = jnp.arange(_PATCH, dtype=jnp.float32)
+    wx = jnp.maximum(1.0 - jnp.abs(dx[..., None] - offs), 0.0)
+    wy = jnp.maximum(1.0 - jnp.abs(dy[..., None] - offs), 0.0)
+    w49 = (wy[..., :, None] * wx[..., None, :]).reshape(
+        *wx.shape[:-1], _PATCH * _PATCH).astype(bf)
+    patch = tap[..., c4:].reshape(*tap.shape[:-1], 3, _PATCH * _PATCH)
+    rgb = (jnp.sum(patch * w49[..., None, :], axis=-1,
+                   dtype=jnp.float32) * (1.0 / 255.0)).astype(bf)
+    return feats, rgb
+
+
 def gather_bilinear_quad(quad: jnp.ndarray, points: jnp.ndarray,
                          h: int, w: int,
                          align_corners: bool) -> jnp.ndarray:

@@ -168,8 +168,17 @@ class DpTrainStep:
         self._replicated = False
 
     def _replicate(self, tree):
-        return jax.device_put_replicated(jax.device_get(tree),
-                                         self.devices)
+        # pmap layout (leading device axis, one copy per device) via the
+        # modern device_put-with-sharding API (device_put_replicated is
+        # deprecated). np.broadcast_to is a zero-copy host view; the
+        # sharded device_put materializes one shard per device.
+        mesh = Mesh(np.asarray(self.devices), ("dp",))
+        sharding = jax.sharding.NamedSharding(mesh, P("dp"))
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                np.broadcast_to(np.asarray(x)[None],
+                                (self.n,) + np.shape(x)), sharding),
+            jax.device_get(tree))
 
     def __call__(self, params, opt_state, batch, rng):
         if not self._replicated:

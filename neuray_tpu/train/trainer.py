@@ -187,11 +187,12 @@ class Trainer:
         """Group samples into same-shape batches of size n_devices and
         start their (async) host->device transfer in pmap layout.
 
-        device_put_sharded returns immediately; issuing the NEXT batch's
-        transfer while the current step computes overlaps the host link
-        (the axon tunnel moves ~20MB/s, so this matters enormously on
-        this box)."""
-        devices = list(self.mesh.devices.flat)
+        device_put with a sharding returns immediately; issuing the
+        NEXT batch's transfer while the current step computes overlaps
+        the host link (the axon tunnel moves ~20MB/s, so this matters
+        enormously on this box)."""
+        sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(self.mesh.axis_names[0]))
         while True:
             sample = _strip(prefetcher.next())
             sig = shape_signature(sample)
@@ -199,8 +200,8 @@ class Trainer:
             if len(buckets[sig]) >= self.n_dev:
                 samples = buckets.pop(sig)
                 return jax.tree.map(
-                    lambda *xs: jax.device_put_sharded(
-                        [np.asarray(x) for x in xs], devices),
+                    lambda *xs: jax.device_put(
+                        np.stack([np.asarray(x) for x in xs]), sharding),
                     *samples)
 
     # ---------------- main loop ----------------

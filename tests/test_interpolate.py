@@ -135,3 +135,73 @@ def test_fused_map_matches_separate_gathers(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_rgb), want_rgb,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_map_u8_quantized_gather(rng):
+    """The uint8 fused map reproduces the bilinear gathers within its
+    quantization budget: rgb EXACT for 8-bit-sourced images; feats
+    within one per-channel quantization step."""
+    from neuray_tpu.ops.interpolate import (
+        make_fused_scene_map_u8, gather_bilinear_fused_u8)
+    n, h, w, c = 2, 64, 48, 6
+    fh, fw = h // 4, w // 4
+    imgs = (rng.randint(0, 256, (n, h, w, 3)) / 255.0).astype(np.float32)
+    feats = rng.randn(n, fh, fw, c).astype(np.float32)
+    points = (rng.rand(n, 500, 2) * [w + 8, h + 8] - [4, 4]
+              ).astype(np.float32)
+    points[:, :4] = [[0, 0], [w - 1, h - 1], [0, h - 1], [w - 1, 0]]
+
+    fused, scale, offset = make_fused_scene_map_u8(
+        jnp.asarray(imgs), jnp.asarray(feats), h, w)
+    assert fused.dtype == jnp.uint8
+    got_feats, got_rgb = gather_bilinear_fused_u8(
+        fused, scale, offset, jnp.asarray(points), h, w)
+
+    want_feats = np.asarray(grid_sample_nhwc(
+        jnp.asarray(feats), jnp.asarray(points), h, w, "border", False))
+    want_rgb = np.asarray(grid_sample_nhwc(
+        jnp.asarray(imgs), jnp.asarray(points), h, w, "border", True))
+    # rgb: u8 codes interpolate exactly in bf16 up to the final
+    # 1/255-scale round; bound by bf16 resolution of the result
+    np.testing.assert_allclose(np.asarray(got_rgb, np.float32), want_rgb,
+                               atol=1.5 / 255.0)
+    # feats error model: 0.5 step quantization + ~1 code of bf16 lerp
+    # rounding on the ~255-magnitude u8 codes + bf16 scale rounding
+    step = np.asarray(scale, np.float32)
+    err = np.abs(np.asarray(got_feats, np.float32) - want_feats)
+    assert (err <= step[None, None] * 2.0 + 0.02).all(), \
+        (err / step[None, None]).max()
+
+
+def test_renderer_u8_gather_matches_bf16(rng):
+    """End-to-end: gather_quant='u8' renders within the quantization
+    budget of the bf16 fused-map render (same weights, same scene)."""
+    import jax
+    from neuray_tpu.models.renderer import (
+        NeurayRenderer, RenderConfig, render_full)
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+
+    rng_np = np.random.RandomState(0)
+    h = w = 32
+    ref_np = make_sphere_scene(rng_np, 3, h, w)
+    que_np = make_query(rng_np, h, w, rn=37)
+    ref = jax.tree.map(jnp.asarray, ref_np)
+    que = jax.tree.map(jnp.asarray, que_np)
+
+    base = dict(use_hierarchical_sampling=False, depth_sample_num=8,
+                ray_batch_num=16, use_vis=False, fine_use_vis=False,
+                use_bf16=True)
+    r_bf = NeurayRenderer(RenderConfig(**base))
+    r_u8 = NeurayRenderer(RenderConfig(**base, gather_quant="u8"))
+    params = r_bf.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ref, que, False)
+    out_bf = render_full(r_bf, params, ref, que,
+                         keep_keys=("pixel_colors_nr",))
+    out_u8 = render_full(r_u8, params, ref, que,
+                         keep_keys=("pixel_colors_nr",))
+    a = np.asarray(out_bf["pixel_colors_nr"], np.float32)
+    b = np.asarray(out_u8["pixel_colors_nr"], np.float32)
+    assert np.isfinite(b).all()
+    # quantized feats perturb the MLP inputs; colors must stay close
+    assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
