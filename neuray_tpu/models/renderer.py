@@ -50,6 +50,7 @@ class RenderConfig:
     use_vis: bool = True           # dist_decoder_cfg.use_vis
     fine_use_vis: bool = True      # fine_dist_decoder_cfg.use_vis
     neuray_dim: int = 32
+    cost_volume_sn: int = 64       # init_net_cfg.cost_volume_sn
 
     use_hierarchical_sampling: bool = False
     fine_depth_sample_num: int = 64
@@ -86,6 +87,9 @@ class RenderConfig:
             kwargs["use_vis"] = dd["use_vis"]
         kwargs["fine_use_vis"] = fdd.get(
             "use_vis", kwargs.get("use_vis", True))
+        inc = cfg.get("init_net_cfg", {}) or {}
+        if "cost_volume_sn" in inc:
+            kwargs["cost_volume_sn"] = inc["cost_volume_sn"]
         return cls(**kwargs)
 
 
@@ -121,7 +125,8 @@ class NeurayRenderer(nn.Module):
                 dtype=dt, name="fine_agg_net")
         if c.init_net_type:
             self.init_net = name2init_net[c.init_net_type](
-                {}, dtype=dt, name="init_net")
+                {"cost_volume_sn": c.cost_volume_sn}, dtype=dt,
+                name="init_net")
         self.sh_regs = jnp.asarray(SH.sh_regs(3))
 
     # ---------------- per-scene stages ----------------

@@ -158,6 +158,33 @@ class _Mapper:
                 "depth_skip_1": self.conv(f"{key}.depth_skip.2"),
                 "conv_out": self.conv(f"{key}.conv_out")}
 
+    def cost_volume_init_net(self, key):
+        """Reference CostVolumeInitNet (reference init_net.py:205-254):
+        frozen mvsnet.* + res_net (ResUNetLight defaults 2,3,6,3) +
+        three conv3x3/ResidualBlock/conv1x1 Sequentials."""
+        from neuray_tpu.utils.mvsnet_convert import (
+            convert_mvsnet_state_dict)
+        pre = f"{key}.mvsnet."
+        mv_sd = {k[len(pre):]: self.sd[k]
+                 for k in self.sd if k.startswith(pre)}
+        self.used.update(k for k in self.sd if k.startswith(pre))
+
+        def seq(skey, names):
+            return {names[0]: self.reflect_conv(f"{skey}.0"),
+                    names[1]: self.residual_block(f"{skey}.1"),
+                    names[2]: self.conv(f"{skey}.2")}
+
+        return {
+            "mvsnet": convert_mvsnet_state_dict(mv_sd),
+            "res_net": self.resunet(f"{key}.res_net", (2, 3, 6, 3)),
+            **seq(f"{key}.volume_conv2d",
+                  ("volume_conv_in", "volume_res", "volume_conv_out")),
+            **seq(f"{key}.depth_conv",
+                  ("depth_conv_in", "depth_res", "depth_conv_out")),
+            **seq(f"{key}.out_conv",
+                  ("out_conv_in", "out_res", "out_conv_out")),
+        }
+
 
 def convert_gen_state_dict(state_dict: Dict[str, Any],
                            use_hierarchical: bool = True,
@@ -175,6 +202,8 @@ def convert_gen_state_dict(state_dict: Dict[str, Any],
     }
     if init_net_type == "depth":
         params["init_net"] = m.depth_init_net("init_net")
+    elif init_net_type == "cost_volume":
+        params["init_net"] = m.cost_volume_init_net("init_net")
     if use_hierarchical:
         params["fine_dist_decoder"] = m.dist_decoder(
             "fine_dist_decoder", fine_use_vis)

