@@ -98,3 +98,66 @@ def test_lpips_metric_properties(fake_weights, monkeypatch):
     dab, dba = metric(a, b), metric(b, a)
     assert dab > 0
     assert dab == pytest.approx(dba, rel=1e-6)
+
+
+def test_lpips_matches_published_definition(fake_weights, monkeypatch):
+    """LpipsVgg == an INDEPENDENT implementation of the published
+    LPIPS v0.1 definition (Zhang et al.: scaling layer -> VGG16 relu
+    taps {1_2, 2_2, 3_3, 4_3, 5_3} -> channel-unit-normalize ->
+    squared diff -> learned 1x1 lin conv -> spatial mean -> sum over
+    layers), written here against the raw state dicts rather than the
+    eval.py layer stack. The lpips pip package is absent on this
+    zero-egress box (VERDICT r2 next #6) — this pins the MATH; only the
+    pretrained weight VALUES remain untestable and are documented."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    vgg_fn, lin_fn = fake_weights
+    monkeypatch.setenv("NEURAY_VGG16_WEIGHTS", vgg_fn)
+    monkeypatch.setenv("NEURAY_LPIPS_WEIGHTS", lin_fn)
+    from eval import LpipsVgg
+
+    metric = LpipsVgg()
+    assert metric.ok, metric.reason
+
+    sd = torch.load(vgg_fn, map_location="cpu", weights_only=True)
+    lin_sd = torch.load(lin_fn, map_location="cpu", weights_only=True)
+    # torchvision vgg16 conv positions and the tapped relu positions
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    taps_after_conv = {2, 7, 14, 21, 28}  # relu following these convs
+    pools_after_conv = {2, 7, 14, 21}     # maxpool after the tap
+
+    def oracle(img0, img1):
+        shift = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+
+        def prep(x):
+            t = torch.from_numpy(
+                x.astype(np.float32) / 255.).permute(2, 0, 1)[None]
+            return ((t * 2 - 1) - shift) / scale
+
+        x0, x1 = prep(img0), prep(img1)
+        total, li = 0.0, 0
+        for ci in conv_idx:
+            w, b = sd[f"features.{ci}.weight"], sd[f"features.{ci}.bias"]
+            x0 = F.relu(F.conv2d(x0, w, b, padding=1))
+            x1 = F.relu(F.conv2d(x1, w, b, padding=1))
+            if ci in taps_after_conv:
+                def unit(x):
+                    return x / (torch.sqrt(
+                        torch.sum(x ** 2, dim=1, keepdim=True)) + 1e-10)
+                diff = (unit(x0) - unit(x1)) ** 2
+                lw = lin_sd[f"lin{li}.model.1.weight"]
+                total += float(F.conv2d(diff, lw).mean())
+                li += 1
+            if ci in pools_after_conv:
+                x0 = F.max_pool2d(x0, 2, 2)
+                x1 = F.max_pool2d(x1, 2, 2)
+        return total
+
+    rng = np.random.RandomState(3)
+    a = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    b = np.clip(a.astype(np.int16)
+                + rng.randint(-30, 30, a.shape), 0, 255).astype(np.uint8)
+    got = metric(a, b)
+    want = oracle(a, b)
+    assert got == pytest.approx(want, rel=1e-5), (got, want)
