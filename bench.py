@@ -73,10 +73,12 @@ def main():
         (H, W, RFN, RAY_CHUNK, DN, SEGMENT) if on_tpu
         else (64, 64, 4, 256, 16, 1024))
 
+    quant = os.environ.get("BENCH_QUANT", "u8" if on_tpu else "none")
     cfg = RenderConfig(
         use_hierarchical_sampling=True, depth_sample_num=dn,
         fine_depth_sample_num=dn, ray_batch_num=chunk,
-        use_vis=False, fine_use_vis=False, use_bf16=on_tpu)
+        use_vis=False, fine_use_vis=False, use_bf16=on_tpu,
+        gather_quant=quant)
     renderer = NeurayRenderer(cfg)
 
     rng = np.random.RandomState(0)

