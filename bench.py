@@ -102,8 +102,21 @@ def main():
         ref, {**que_base, "coords": segments[0][:, :chunk]}, False)
 
     encode_fn = make_scene_encode_fn(renderer)
-    rays_fn = make_ray_render_fn(
-        renderer, keep_keys=("pixel_colors_nr", "pixel_colors_nr_fine"))
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # multi-chip box: shard the ray axis over all chips (verified
+        # exact vs the single-device path on the virtual CPU mesh,
+        # tests/test_parallel.py); reports aggregate + per-chip rays/s
+        from neuray_tpu.parallel.sharding import (
+            make_mesh, make_sharded_render_fn)
+        rays_fn = make_sharded_render_fn(
+            renderer, make_mesh(n_dev),
+            keep_keys=("pixel_colors_nr", "pixel_colors_nr_fine"),
+            pre_encoded=True)
+    else:
+        rays_fn = make_ray_render_fn(
+            renderer, keep_keys=("pixel_colors_nr",
+                                 "pixel_colors_nr_fine"))
 
     def render_frame():
         """Full frame: ONE scene encode (timed — matches the
@@ -144,6 +157,10 @@ def main():
     if raw_cpu is not None:
         result["baseline_ref_cpu_rays_per_sec"] = raw_cpu
         result["baseline_gpu_over_cpu_allowance"] = mult
+    if n_dev > 1:
+        result["n_chips"] = n_dev
+        result["rays_per_sec_aggregate"] = round(rays_per_sec, 1)
+        result["value"] = round(rays_per_sec / n_dev, 1)
     print(json.dumps(result))
 
 

@@ -105,20 +105,8 @@ class FtRenderer:
                 ckpt = os.path.abspath(f'data/model/{gen_cfg["name"]}/ckpt')
             gen_params = ocp.PyTreeCheckpointer().restore(ckpt)["params"]
 
-            init_fn = jax.jit(lambda p, ref: gen_renderer.apply(
-                p, ref, method=NeurayRenderer.initialize_ray_feats))
-
-            feats = []
-            for i, ref_id in enumerate(self.ref_ids):
-                dist_idx = self.ref_dist_idx[i]
-                sel = dist_idx[:self.cfg["init_view_num"]]
-                assert self.ref_ids[sel[0]] == ref_id
-                info = imgs_info_slice(self.ref_info, sel)
-                ref = jax.tree.map(jnp.asarray, {
-                    k: info[k] for k in
-                    ("imgs", "poses", "Ks", "depth_range", "depth")})
-                feats.append(np.asarray(init_fn(gen_params, ref))[0])
-            ray_feats = jnp.asarray(np.stack(feats))  # n,fh,fw,c
+            ray_feats = self.init_ray_feats_from_gen(
+                gen_renderer, gen_params)               # n,fh,fw,c
 
             # copy shared module weights from the gen model
             net_params = {"params": {
@@ -140,6 +128,42 @@ class FtRenderer:
             net_params = self._random_net_params(rng_key, ref_stub,
                                                  que_stub)
         return {"net": net_params, "ray_feats": ray_feats}
+
+    def _info_subset(self, sel):
+        info = imgs_info_slice(self.ref_info, np.asarray(sel))
+        return jax.tree.map(jnp.asarray, {
+            k: info[k] for k in
+            ("imgs", "poses", "Ks", "depth_range", "depth")
+            if info.get(k) is not None})
+
+    def init_ray_feats_from_gen(self, gen_renderer, gen_params):
+        """Per-view raw visibility features G' from the gen model's init
+        net (reference renderer.py:401-434, 446-450):
+          * depth init: the init_view_num nearest views, SELF FIRST,
+            through DepthInitNet; keep view 0's map.
+          * cost-volume init: the view itself as the single ref view,
+            its init_src_view_num nearest neighbours as src views with
+            nn_ids = arange(src_num).
+        """
+        init_fn = jax.jit(lambda p, ref, src=None: gen_renderer.apply(
+            p, ref, src, method=NeurayRenderer.initialize_ray_feats))
+        by_cv = gen_renderer.cfg.init_net_type == "cost_volume"
+
+        feats = []
+        for i, ref_id in enumerate(self.ref_ids):
+            dist_idx = self.ref_dist_idx[i]
+            assert self.ref_ids[dist_idx[0]] == ref_id
+            if by_cv:
+                src_num = self.cfg["init_src_view_num"]
+                ref = self._info_subset([i])
+                ref["nn_ids"] = jnp.arange(src_num)[None]
+                src = self._info_subset(dist_idx[1:1 + src_num])
+                feats.append(np.asarray(init_fn(gen_params, ref, src))[0])
+            else:
+                sel = dist_idx[:self.cfg["init_view_num"]]
+                ref = self._info_subset(sel)
+                feats.append(np.asarray(init_fn(gen_params, ref))[0])
+        return jnp.asarray(np.stack(feats))
 
     def _random_net_params(self, rng_key, ref_stub, que_stub):
         raw = ref_stub.pop("ray_feats_raw")

@@ -44,14 +44,20 @@ _SHARDED_RENDER_CACHE: dict = {}
 
 def make_sharded_render_fn(renderer: NeurayRenderer, mesh: Mesh,
                            keep_keys=("pixel_colors_nr",
-                                      "pixel_colors_nr_fine", "ray_mask")):
+                                      "pixel_colors_nr_fine", "ray_mask"),
+                           pre_encoded: bool = False):
     """Jitted full render with the ray axis sharded over the mesh.
 
     Returned fn: (params, ref, que) -> outputs with rays restored to the
     unsharded [qn, rn, ...] layout. The caller must pass rn divisible by
     (n_devices * ray_batch_num) after internal padding — handled here.
+
+    pre_encoded=True: ``ref`` is already the encoded scene from
+    make_scene_encode_fn (img_feats/ray_feats/gather maps present) —
+    callers rendering many segments of one scene pay the conv encoders
+    once instead of once per segment (mirrors make_ray_render_fn).
     """
-    key = (renderer.cfg, tuple(keep_keys), mesh.shape_tuple)
+    key = (renderer.cfg, tuple(keep_keys), mesh.shape_tuple, pre_encoded)
     if key in _SHARDED_RENDER_CACHE:
         return _SHARDED_RENDER_CACHE[key]
 
@@ -60,15 +66,21 @@ def make_sharded_render_fn(renderer: NeurayRenderer, mesh: Mesh,
     n_dev = mesh.devices.size
 
     def impl(params, ref, que, src=None):
-        # scene encoding: replicated (cheap relative to rays at scale)
-        ray_feats_raw = renderer.apply(
-            params, ref, src, method=NeurayRenderer.initialize_ray_feats)
-        img_feats, ray_feats = renderer.apply(
-            params, ref, ray_feats_raw, method=NeurayRenderer.encode_scene)
-        ref_c = dict(ref)
-        ref_c["img_feats"] = img_feats
-        ref_c["ray_feats"] = ray_feats
-        ref_c = renderer.build_gather_cache(ref_c)
+        if pre_encoded:
+            ref_c = ref
+        else:
+            # scene encoding: replicated (cheap relative to rays at
+            # scale)
+            ray_feats_raw = renderer.apply(
+                params, ref, src,
+                method=NeurayRenderer.initialize_ray_feats)
+            img_feats, ray_feats = renderer.apply(
+                params, ref, ray_feats_raw,
+                method=NeurayRenderer.encode_scene)
+            ref_c = dict(ref)
+            ref_c["img_feats"] = img_feats
+            ref_c["ray_feats"] = ray_feats
+            ref_c = renderer.build_gather_cache(ref_c)
 
         qn, rn, _ = que["coords"].shape
         # pad rays to n_dev * chunk multiple, reshape to [n_dev, ...]

@@ -74,3 +74,34 @@ def test_dp_train_step_learns(setup):
     assert np.isfinite(losses).all()
     # same batch 3x with adam at 1e-3: loss must drop
     assert losses[-1] < losses[0]
+
+
+def test_sharded_segmented_preencoded_matches_plain(setup):
+    """bench.py's multi-chip composition: encode once, render ray
+    SEGMENTS through the pre_encoded sharded fn, concatenate — must
+    equal the plain single-program render (VERDICT r2 next #9)."""
+    from neuray_tpu.models.renderer import make_scene_encode_fn
+    renderer, params, ref, que = setup
+    mesh = make_mesh(8)
+    que_eval = {k: v for k, v in que.items() if k != "imgs"}
+
+    encode_fn = make_scene_encode_fn(renderer)
+    ref_c = encode_fn(params, ref)
+    sharded = make_sharded_render_fn(
+        renderer, mesh, keep_keys=("pixel_colors_nr_fine",),
+        pre_encoded=True)
+
+    rn = que_eval["coords"].shape[1]
+    seg = 32
+    outs = []
+    for i in range(0, rn, seg):
+        q = dict(que_eval, coords=que_eval["coords"][:, i:i + seg])
+        outs.append(np.asarray(
+            sharded(params, ref_c, q)["pixel_colors_nr_fine"]))
+    got = np.concatenate(outs, axis=1)
+
+    plain = render_full(renderer, params, ref, que_eval,
+                        keep_keys=("pixel_colors_nr_fine",))
+    np.testing.assert_allclose(
+        got, np.asarray(plain["pixel_colors_nr_fine"]),
+        rtol=1e-4, atol=1e-5)

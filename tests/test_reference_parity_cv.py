@@ -196,3 +196,117 @@ def test_gen_renderer_cost_volume_end_to_end_parity(
         np.testing.assert_allclose(
             got, want, atol=1e-4, rtol=0,
             err_msg=f"{key} diverges (cost-volume path)")
+
+
+def _ref_ft_shell(ref_modules, ref_np, cfg_extra):
+    """A reference NeuralRayFtRenderer with ONLY the fields its
+    _init_by_depth/_init_by_cost_volume methods touch (the real
+    __init__ needs datasets on disk). The init methods then run the
+    reference's genuine view-selection + slicing code."""
+    FtR = ref_modules["renderer"].NeuralRayFtRenderer
+    obj = FtR.__new__(FtR)
+    torch.nn.Module.__init__(obj)
+    obj.cfg = {**FtR.default_cfg, **cfg_extra}
+
+    class _DB:
+        def get_pose(self, i):
+            return ref_np["poses"][int(i)]
+
+    obj.database = _DB()
+    obj.ref_ids = np.asarray([str(i) for i in range(len(ref_np["imgs"]))])
+    ref_t = _to_torch_ref(ref_np)
+    obj.ref_imgs_info = ref_t
+    return obj
+
+
+def _our_ft_shell(ref_np, cfg_extra):
+    from neuray_tpu.models.ft import FtRenderer, FT_DEFAULT_CFG
+    from neuray_tpu.data.view_select import compute_nearest_camera_indices
+
+    ft = FtRenderer.__new__(FtRenderer)
+    ft.cfg = {**FT_DEFAULT_CFG, **cfg_extra}
+    ft.ref_ids = np.asarray([str(i) for i in range(len(ref_np["imgs"]))])
+
+    class _DB:
+        def get_pose(self, i):
+            return ref_np["poses"][int(i)]
+
+    ft.ref_dist_idx = compute_nearest_camera_indices(
+        _DB(), list(ft.ref_ids))
+    ft.ref_info = dict(ref_np)
+    return ft
+
+
+def test_ft_init_depth_parity(ref_modules, monkeypatch):
+    """FT initialization G' maps, depth path (reference renderer.py:
+    401-412, 446-450): the reference _init_by_depth per-view outputs ==
+    FtRenderer.init_ray_feats_from_gen with the converted init net."""
+    from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+    from neuray_tpu.utils.torch_convert import _Mapper
+
+    _neutralize_cuda(monkeypatch)
+    torch.manual_seed(15)
+    init_net = ref_modules["init_net"].DepthInitNet({}).eval()
+
+    from neuray_tpu.data.synthetic import make_sphere_scene
+    rng = np.random.RandomState(23)
+    ref_np = make_sphere_scene(rng, 6, 64, 64)
+
+    cfg = {"init_view_num": 4}
+    ref_ft = _ref_ft_shell(ref_modules, ref_np, cfg)
+    with torch.no_grad():
+        want = np.stack([
+            ref_ft._init_by_depth(rid, init_net)[0].numpy()
+            for rid in ref_ft.ref_ids])             # n,c,fh,fw
+    want = np.transpose(want, (0, 2, 3, 1))
+
+    sd = {f"init_net.{k}": v.detach().numpy()
+          for k, v in init_net.state_dict().items()}
+    gen_params = {"params": {"init_net": _Mapper(sd).depth_init_net(
+        "init_net")}}
+    gen_renderer = NeurayRenderer(RenderConfig(init_net_type="depth"))
+
+    ft = _our_ft_shell(ref_np, cfg)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(ft.init_ray_feats_from_gen(
+            gen_renderer, gen_params))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_ft_init_cost_volume_parity(ref_modules, monkeypatch):
+    """FT initialization G' maps, cost-volume path (reference
+    renderer.py:413-425) with the bundled MVSNet ckpt."""
+    from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+    from neuray_tpu.utils.torch_convert import _Mapper
+
+    _neutralize_cuda(monkeypatch)
+    torch.manual_seed(16)
+    init_net = ref_modules["init_net"].CostVolumeInitNet(
+        {"cost_volume_sn": 16}).eval()
+
+    from neuray_tpu.data.synthetic import make_sphere_scene
+    rng = np.random.RandomState(29)
+    ref_np = make_sphere_scene(rng, 5, 64, 64)
+
+    cfg = {"init_src_view_num": 2}
+    ref_ft = _ref_ft_shell(ref_modules, ref_np, cfg)
+    with torch.no_grad():
+        want = np.stack([
+            ref_ft._init_by_cost_volume(rid, init_net)[0].numpy()
+            for rid in ref_ft.ref_ids])
+    want = np.transpose(want, (0, 2, 3, 1))
+
+    sd = {f"init_net.{k}": v.detach().numpy()
+          for k, v in init_net.state_dict().items()}
+    gen_params = {"params": {
+        "init_net": _Mapper(sd).cost_volume_init_net("init_net")}}
+    gen_renderer = NeurayRenderer(RenderConfig(
+        init_net_type="cost_volume", cost_volume_sn=16))
+
+    ft = _our_ft_shell(ref_np, cfg)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(ft.init_ray_feats_from_gen(
+            gen_renderer, gen_params))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
