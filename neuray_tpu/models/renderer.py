@@ -399,6 +399,28 @@ class NeurayRenderer(nn.Module):
                 outputs[k + "_fine"] = v
         return outputs
 
+    def render_chunk_fine(self, ref: Dict[str, jnp.ndarray],
+                          que: Dict[str, jnp.ndarray],
+                          hit_prob_nr: jnp.ndarray):
+        """Fine pass ONLY, for rays whose coarse hit_prob is already
+        known (eval path). Numerically identical to the fine half of
+        render_chunk(is_train=False): the deterministic coarse depths
+        are recomputed, fine depths come from CDF inversion of the
+        given coarse hit_prob. Used by the two-phase empty-ray-skipping
+        driver (render_frame_skip_empty)."""
+        c = self.cfg
+        qn, rn, _ = que["coords"].shape
+        que_depth, _ = S.sample_depth(
+            que["depth_range"], qn, rn, c.depth_sample_num, False)
+        fine_depth = S.sample_fine_depth(
+            que_depth, hit_prob_nr, que["depth_range"],
+            c.fine_depth_sample_num, False, None)
+        if c.fine_depth_use_all:
+            fine_depth = jnp.sort(
+                jnp.concatenate([que_depth, fine_depth], -1), -1)
+        fine_out = self._render_by_depth(fine_depth, que, ref, False, True)
+        return {k + "_fine": v for k, v in fine_out.items()}
+
     # ---------------- depth-loss head ----------------
 
     def predict_mean_for_depth_loss(self, ray_feats, coords, h: int, w: int):
@@ -512,6 +534,135 @@ def make_ray_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
     fn = jax.jit(impl)
     _RENDER_FN_CACHE[cache_key] = fn
     return fn
+
+
+def make_coarse_render_fn(renderer: NeurayRenderer,
+                          keep_keys=("pixel_colors_nr", "hit_prob_nr")):
+    """Jitted chunked COARSE-ONLY loop over an encoded ref: returns the
+    coarse outputs incl. hit_prob_nr (device-resident) for the
+    two-phase empty-ray-skipping render."""
+    cache_key = (renderer.cfg, tuple(keep_keys), "coarse")
+    if cache_key in _RENDER_FN_CACHE:
+        return _RENDER_FN_CACHE[cache_key]
+    c = renderer.cfg
+
+    def impl(params, ref_c, que):
+        chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)
+
+        def render_one(coords_chunk):
+            que_c = dict(que)
+            que_c["coords"] = coords_chunk
+            qn, rnc, _ = coords_chunk.shape
+            que_depth, _ = S.sample_depth(
+                que_c["depth_range"], qn, rnc, c.depth_sample_num, False)
+            out = renderer.apply(
+                params, que_depth, que_c, ref_c, False, False,
+                method=NeurayRenderer._render_by_depth)
+            return {k: v for k, v in out.items() if k in keep_keys}
+
+        outs = jax.lax.map(render_one, chunks)
+        return jax.tree.map(
+            lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                x.shape[1], -1, *x.shape[3:])[:, :rn], outs)
+
+    fn = jax.jit(impl)
+    _RENDER_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def make_fine_render_fn(renderer: NeurayRenderer,
+                        keep_keys=("pixel_colors_nr_fine",)):
+    """Jitted chunked FINE-ONLY loop: (params, ref_c, que_kept,
+    hit_prob_kept) -> fine outputs for the kept rays."""
+    cache_key = (renderer.cfg, tuple(keep_keys), "fine")
+    if cache_key in _RENDER_FN_CACHE:
+        return _RENDER_FN_CACHE[cache_key]
+    c = renderer.cfg
+
+    def impl(params, ref_c, que, hit_prob):
+        chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)
+        qn = que["coords"].shape[0]
+        n_chunks = chunks.shape[0]
+        pad = n_chunks * c.ray_batch_num - hit_prob.shape[1]
+        hp = jnp.pad(hit_prob, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        hp = hp.reshape(qn, n_chunks, c.ray_batch_num, -1).transpose(
+            1, 0, 2, 3)
+
+        def render_one(args):
+            coords_chunk, hp_chunk = args
+            que_c = dict(que)
+            que_c["coords"] = coords_chunk
+            out = renderer.apply(
+                params, ref_c, que_c, hp_chunk,
+                method=NeurayRenderer.render_chunk_fine)
+            return {k: v for k, v in out.items() if k in keep_keys}
+
+        outs = jax.lax.map(render_one, (chunks, hp))
+        return jax.tree.map(
+            lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                x.shape[1], -1, *x.shape[3:])[:, :rn], outs)
+
+    fn = jax.jit(impl)
+    _RENDER_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
+                            que, threshold: float = 0.02,
+                            min_keep_chunks: int = 1):
+    """Two-phase eval render that SKIPS the fine pass for rays whose
+    coarse pass found nothing (sum of coarse hit_prob <= threshold).
+
+    Gather taps are the measured frame-time floor (~25ns/tap,
+    docs/ARCHITECTURE.md roofline) and the fine pass costs half the
+    taps; on object-centric scenes most rays hit only background, so
+    their fine pass contributes nothing visible — their fine output is
+    replaced by the coarse estimate of the same integral. Kept rays are
+    BIT-IDENTICAL to the single-phase render (same per-ray math; chunk
+    membership does not change numerics). Quality vs threshold is
+    quantified in tools/check_skip_quality.py.
+
+    Kept-ray counts are padded to power-of-two chunk multiples so the
+    fine program compiles for at most log2(n_chunks) shapes.
+
+    Returns {pixel_colors_nr, pixel_colors_nr_fine} as numpy arrays.
+    """
+    import numpy as np
+
+    c = renderer.cfg
+    assert c.use_hierarchical_sampling
+    coarse_fn = make_coarse_render_fn(renderer)
+    fine_fn = make_fine_render_fn(renderer)
+
+    coarse = coarse_fn(params, ref_c, que)
+    colors_nr = np.asarray(jax.device_get(coarse["pixel_colors_nr"]),
+                           np.float32)
+    hit_prob = coarse["hit_prob_nr"]          # device-resident [qn,rn,dn]
+    score = np.asarray(jax.device_get(jnp.sum(hit_prob, -1)))  # qn,rn
+
+    qn, rn, _ = que["coords"].shape
+    assert qn == 1, "skip-empty driver is per-query-view"
+    keep = np.nonzero(score[0] > threshold)[0]
+    fine_img = colors_nr.copy()  # skipped rays: coarse estimate
+    if keep.size:
+        chunk = c.ray_batch_num
+        n_chunks = max(-(-keep.size // chunk), min_keep_chunks)
+        n_chunks = 1 << (n_chunks - 1).bit_length()  # pow2 bucket
+        n_chunks = min(n_chunks, -(-rn // chunk))
+        k_pad = min(n_chunks * chunk, rn)
+        keep_padded = np.pad(keep, (0, k_pad - keep.size), mode="edge") \
+            if k_pad > keep.size else keep[:k_pad]
+        kp = jnp.asarray(keep_padded)
+        que_k = dict(que)
+        que_k["coords"] = jnp.take(que["coords"], kp, axis=1)
+        hp_k = jnp.take(hit_prob, kp, axis=1)
+        fine = fine_fn(params, ref_c, que_k, hp_k)
+        fine_np = np.asarray(
+            jax.device_get(fine["pixel_colors_nr_fine"]), np.float32)
+        fine_img[0, keep] = fine_np[0, :keep.size]
+    return {"pixel_colors_nr": colors_nr,
+            "pixel_colors_nr_fine": fine_img,
+            "kept_rays": int(keep.size)}
 
 
 def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):

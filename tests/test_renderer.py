@@ -181,3 +181,57 @@ def test_gradients_flow(scene_and_params):
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     nonzero = sum(float(np.abs(np.asarray(g)).sum() > 0) for g in leaves)
     assert nonzero / len(leaves) > 0.5
+
+
+def test_skip_empty_render_matches_full(rng):
+    """The two-phase empty-ray-skipping driver: threshold=-1 (keep all)
+    reproduces the single-phase render EXACTLY; a positive threshold
+    keeps hit rays exact and replaces skipped rays' fine output with
+    their coarse output."""
+    import jax
+    from neuray_tpu.models.renderer import (
+        NeurayRenderer, RenderConfig, render_full, make_scene_encode_fn,
+        render_frame_skip_empty)
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+
+    r = np.random.RandomState(5)
+    h = w = 32
+    ref = jax.tree.map(jnp.asarray, make_sphere_scene(r, 3, h, w))
+    que_np = make_query(r, h, w, rn=0, full_image=True)
+    que = {k: jnp.asarray(v) for k, v in que_np.items() if k != "imgs"}
+
+    cfg = RenderConfig(use_hierarchical_sampling=True, depth_sample_num=8,
+                       fine_depth_sample_num=8, ray_batch_num=64,
+                       use_vis=False, fine_use_vis=False,
+                       ray_mask_point_num=4)
+    renderer = NeurayRenderer(cfg)
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ref, dict(que, coords=que["coords"][:, :64]), False)
+
+    full = render_full(renderer, params, ref, que,
+                       keep_keys=("pixel_colors_nr",
+                                  "pixel_colors_nr_fine"))
+    full_nr = np.asarray(full["pixel_colors_nr"], np.float32)
+    full_fine = np.asarray(full["pixel_colors_nr_fine"], np.float32)
+
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+    out_all = render_frame_skip_empty(renderer, params, ref_c, que,
+                                      threshold=-1.0)
+    assert out_all["kept_rays"] == que["coords"].shape[1]
+    np.testing.assert_allclose(out_all["pixel_colors_nr"], full_nr,
+                               atol=1e-6)
+    np.testing.assert_allclose(out_all["pixel_colors_nr_fine"], full_fine,
+                               atol=1e-6)
+
+    out_skip = render_frame_skip_empty(renderer, params, ref_c, que,
+                                       threshold=0.5)
+    assert 0 < out_skip["kept_rays"] < que["coords"].shape[1]
+    # every ray is either exact-vs-full (kept) or equal to its coarse
+    # output (skipped)
+    kept = np.abs(out_skip["pixel_colors_nr_fine"] - full_fine).max(-1)
+    # skipped rays equal their coarse output
+    skipped_mask = (out_skip["pixel_colors_nr_fine"]
+                    == out_skip["pixel_colors_nr"]).all(-1)
+    exact_mask = kept < 1e-6
+    assert (exact_mask | skipped_mask).all()

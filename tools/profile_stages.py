@@ -132,7 +132,9 @@ def main():
 
         # variant: fold ALL interpolation weights into one 403-wide
         # per-tap vector -> one elementwise mul -> reshape-sums, to see
-        # if the 64-ch quad slices (lane-unaligned) are the overhead
+        # if the 64-ch quad slices (lane-unaligned) are the overhead.
+        # (kept as a measured negative result; opt-in via
+        # PROFILE_STAGES=fusedv2 — the compile is expensive)
         fh2, fw2 = H // 4, W // 4
         flat = fused.reshape(RFN, (fh2 - 1) * (fw2 - 1), fused.shape[-1])
 
@@ -167,10 +169,11 @@ def main():
             return (jnp.sum(feats.astype(jnp.float32))
                     + jnp.sum(rgb))
 
-        @jax.jit
-        def stage_fused2(prj):
-            return jnp.sum(jax.lax.map(fused_v2, prj))
-        report("gather fused v2(1-mul)", timeit(stage_fused2, prj_pts))
+        if want("fusedv2") and only is not None:
+            @jax.jit
+            def stage_fused2(prj):
+                return jnp.sum(jax.lax.map(fused_v2, prj))
+            report("gather fused v2(1-mul)", timeit(stage_fused2, prj_pts))
 
     # C3. the uint8-quantized fused gather (403B rows vs 806B bf16)
     if want("fused_u8"):
