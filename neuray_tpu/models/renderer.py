@@ -609,23 +609,30 @@ def make_fine_render_fn(renderer: NeurayRenderer,
 
 def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
                             que, threshold: float = 0.02,
-                            min_keep_chunks: int = 1):
+                            bucket_chunks: int = 32):
     """Two-phase eval render that SKIPS the fine pass for rays whose
     coarse pass found nothing (sum of coarse hit_prob <= threshold).
 
-    Gather taps are the measured frame-time floor (~25ns/tap,
-    docs/ARCHITECTURE.md roofline) and the fine pass costs half the
-    taps; on object-centric scenes most rays hit only background, so
-    their fine pass contributes nothing visible — their fine output is
-    replaced by the coarse estimate of the same integral. Kept rays are
-    BIT-IDENTICAL to the single-phase render (same per-ray math; chunk
-    membership does not change numerics). Quality vs threshold is
-    quantified in tools/check_skip_quality.py.
+    Gather taps are the measured frame-time floor (~20ns/tap,
+    docs/ARCHITECTURE.md roofline) and the fine pass costs 2/3 of them
+    (128 of 192 samples with fine_depth_use_all); on object-centric
+    scenes most rays hit only background, so their fine pass
+    contributes nothing visible — their fine output is replaced by the
+    coarse estimate of the same integral. Kept rays are BIT-IDENTICAL
+    to the single-phase render (same per-ray math; chunk membership
+    does not change numerics). Quality vs threshold is quantified in
+    tools/check_skip_quality.py.
 
-    Kept-ray counts are padded to power-of-two chunk multiples so the
-    fine program compiles for at most log2(n_chunks) shapes.
+    Kept-ray counts are padded up to ``bucket_chunks``-chunk multiples:
+    a fixed small set of fine-program shapes (few compiles) with at
+    most bucket_chunks*ray_batch_num rays of padded duplicate work.
 
-    Returns {pixel_colors_nr, pixel_colors_nr_fine} as numpy arrays.
+    The coarse image readback is dispatched AFTER the fine call so the
+    (slow, ~20MB/s on this box) device->host transfer overlaps fine
+    compute; only the per-ray score (4B/ray) is fetched eagerly.
+
+    Returns {pixel_colors_nr, pixel_colors_nr_fine, kept_rays} with
+    images as numpy arrays.
     """
     import numpy as np
 
@@ -635,28 +642,32 @@ def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
     fine_fn = make_fine_render_fn(renderer)
 
     coarse = coarse_fn(params, ref_c, que)
-    colors_nr = np.asarray(jax.device_get(coarse["pixel_colors_nr"]),
-                           np.float32)
     hit_prob = coarse["hit_prob_nr"]          # device-resident [qn,rn,dn]
     score = np.asarray(jax.device_get(jnp.sum(hit_prob, -1)))  # qn,rn
 
     qn, rn, _ = que["coords"].shape
     assert qn == 1, "skip-empty driver is per-query-view"
     keep = np.nonzero(score[0] > threshold)[0]
-    fine_img = colors_nr.copy()  # skipped rays: coarse estimate
+    fine = None
     if keep.size:
         chunk = c.ray_batch_num
-        n_chunks = max(-(-keep.size // chunk), min_keep_chunks)
-        n_chunks = 1 << (n_chunks - 1).bit_length()  # pow2 bucket
-        n_chunks = min(n_chunks, -(-rn // chunk))
-        k_pad = min(n_chunks * chunk, rn)
+        ceil = lambda a, b: -(-a // b)
+        total_chunks = ceil(rn, chunk)
+        bucket = min(bucket_chunks, total_chunks)
+        n_chunks = min(ceil(ceil(keep.size, chunk), bucket) * bucket,
+                       total_chunks)
+        k_pad = n_chunks * chunk
         keep_padded = np.pad(keep, (0, k_pad - keep.size), mode="edge") \
             if k_pad > keep.size else keep[:k_pad]
         kp = jnp.asarray(keep_padded)
         que_k = dict(que)
         que_k["coords"] = jnp.take(que["coords"], kp, axis=1)
         hp_k = jnp.take(hit_prob, kp, axis=1)
-        fine = fine_fn(params, ref_c, que_k, hp_k)
+        fine = fine_fn(params, ref_c, que_k, hp_k)  # async dispatch
+    colors_nr = np.asarray(jax.device_get(coarse["pixel_colors_nr"]),
+                           np.float32)
+    fine_img = colors_nr.copy()  # skipped rays: coarse estimate
+    if fine is not None:
         fine_np = np.asarray(
             jax.device_get(fine["pixel_colors_nr_fine"]), np.float32)
         fine_img[0, keep] = fine_np[0, :keep.size]

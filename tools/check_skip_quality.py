@@ -1,0 +1,133 @@
+"""Quantify the two-phase empty-ray-skipping render at bench shape.
+
+For the trained sphere scene (tools/bench_weights.npz, produced by
+tools/make_bench_weights.py) this renders one 800x800 query view
+  (a) full two-pass (every ray gets the fine pass; segmented like
+      bench.py), and
+  (b) skip-empty at several coarse-hit-prob thresholds
+      (models/renderer.render_frame_skip_empty),
+and reports, per threshold: kept-ray fraction, wall time, rays/s,
+PSNR(skip image vs full image) and PSNR vs the analytic GT for both.
+Kept rays are bit-identical to the full render; the PSNR delta is
+entirely from skipped rays showing their coarse estimate.
+
+Usage: python tools/check_skip_quality.py [--size 800] [--cpu]
+       [--thresholds 0.01,0.05,0.1]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+
+
+def psnr(a, b):
+    mse = float(np.mean((a - b) ** 2))
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--segment", type=int, default=327680)
+    ap.add_argument("--thresholds", default="0.01,0.05,0.1")
+    ap.add_argument("--weights", default=os.path.join(
+        TOOLS, "bench_weights.npz"))
+    ap.add_argument("--cpu", action="store_true")
+    flags = ap.parse_args()
+
+    import jax
+    if flags.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from neuray_tpu.models.renderer import (
+        NeurayRenderer, RenderConfig, make_scene_encode_fn,
+        make_ray_render_fn, render_frame_skip_empty)
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+    from neuray_tpu.utils.params_io import load_params_npz
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    h = w = flags.size if on_tpu else min(flags.size, 64)
+    dn = 64 if on_tpu else 16
+    chunk = flags.chunk if on_tpu else 64
+    seg = flags.segment if on_tpu else 4096
+
+    cfg = RenderConfig(
+        use_hierarchical_sampling=True, depth_sample_num=dn,
+        fine_depth_sample_num=dn, ray_batch_num=chunk,
+        use_vis=False, fine_use_vis=False, use_bf16=on_tpu,
+        gather_quant="u8" if on_tpu else "none")
+    renderer = NeurayRenderer(cfg)
+    params = load_params_npz(flags.weights)
+
+    rng = np.random.RandomState(0)  # bench scene
+    ref = {k: jnp.asarray(v)
+           for k, v in make_sphere_scene(rng, 8, h, w).items()}
+    que_np = make_query(rng, h, w, rn=0, full_image=True)
+    gt = que_np["imgs"][0].reshape(-1, 3)
+    coords_all = que_np["coords"]
+    n_rays = coords_all.shape[1]
+    que_base = {k: jnp.asarray(v) for k, v in que_np.items()
+                if k not in ("imgs", "coords")}
+
+    encode_fn = make_scene_encode_fn(renderer)
+    rays_fn = make_ray_render_fn(
+        renderer, keep_keys=("pixel_colors_nr", "pixel_colors_nr_fine"))
+
+    n_seg = -(-n_rays // seg)
+    pad = n_seg * seg - n_rays
+    coords_pad = np.pad(coords_all, ((0, 0), (0, pad), (0, 0)), "edge")
+    segments = [jnp.asarray(coords_pad[:, i * seg:(i + 1) * seg])
+                for i in range(n_seg)]
+
+    ref_c = encode_fn(params, ref)
+
+    def render_full():
+        pending = [rays_fn(params, ref_c, dict(que_base, coords=cc))
+                   for cc in segments]
+        outs = [np.asarray(jax.device_get(o["pixel_colors_nr_fine"]))
+                for o in pending]
+        return np.concatenate(outs, axis=1)[0, :n_rays]
+
+    full = render_full()  # warmup/compile
+    t0 = time.perf_counter()
+    full = render_full()
+    t_full = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "full", "time_s": round(t_full, 2),
+        "rays_per_s": round(n_rays / t_full, 1),
+        "psnr_vs_gt": round(psnr(full, gt), 3)}), flush=True)
+
+    que_all = dict(que_base, coords=jnp.asarray(coords_all))
+    for th in [float(x) for x in flags.thresholds.split(",")]:
+        out = render_frame_skip_empty(renderer, params, ref_c, que_all,
+                                      threshold=th)  # warmup/compile
+        t0 = time.perf_counter()
+        out = render_frame_skip_empty(renderer, params, ref_c, que_all,
+                                      threshold=th)
+        dt = time.perf_counter() - t0
+        img = out["pixel_colors_nr_fine"][0]
+        print(json.dumps({
+            "mode": "skip", "threshold": th,
+            "kept_fraction": round(out["kept_rays"] / n_rays, 4),
+            "time_s": round(dt, 2),
+            "rays_per_s": round(n_rays / dt, 1),
+            "psnr_vs_full": round(psnr(img, full), 3),
+            "psnr_vs_gt": round(psnr(img, gt), 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
