@@ -609,7 +609,8 @@ def make_fine_render_fn(renderer: NeurayRenderer,
 
 def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
                             que, threshold: float = 0.02,
-                            bucket_chunks: int = 32):
+                            bucket_chunks: int = 32,
+                            keep_base=("pixel_colors_nr",)):
     """Two-phase eval render that SKIPS the fine pass for rays whose
     coarse pass found nothing (sum of coarse hit_prob <= threshold).
 
@@ -631,15 +632,20 @@ def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
     (slow, ~20MB/s on this box) device->host transfer overlaps fine
     compute; only the per-ray score (4B/ray) is fetched eagerly.
 
-    Returns {pixel_colors_nr, pixel_colors_nr_fine, kept_rays} with
-    images as numpy arrays.
+    For every key ``k`` in ``keep_base`` (coarse outputs — e.g.
+    pixel_colors_nr, render_depth, pixel_colors_dr) the result carries
+    ``k`` (full coarse) and ``k + "_fine"`` (fine for kept rays, coarse
+    estimate for skipped rays), plus ``kept_rays``; arrays are numpy.
     """
     import numpy as np
 
     c = renderer.cfg
     assert c.use_hierarchical_sampling
-    coarse_fn = make_coarse_render_fn(renderer)
-    fine_fn = make_fine_render_fn(renderer)
+    keep_base = tuple(keep_base)
+    coarse_fn = make_coarse_render_fn(
+        renderer, keep_keys=keep_base + ("hit_prob_nr",))
+    fine_fn = make_fine_render_fn(
+        renderer, keep_keys=tuple(k + "_fine" for k in keep_base))
 
     coarse = coarse_fn(params, ref_c, que)
     hit_prob = coarse["hit_prob_nr"]          # device-resident [qn,rn,dn]
@@ -664,16 +670,17 @@ def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
         que_k["coords"] = jnp.take(que["coords"], kp, axis=1)
         hp_k = jnp.take(hit_prob, kp, axis=1)
         fine = fine_fn(params, ref_c, que_k, hp_k)  # async dispatch
-    colors_nr = np.asarray(jax.device_get(coarse["pixel_colors_nr"]),
-                           np.float32)
-    fine_img = colors_nr.copy()  # skipped rays: coarse estimate
-    if fine is not None:
-        fine_np = np.asarray(
-            jax.device_get(fine["pixel_colors_nr_fine"]), np.float32)
-        fine_img[0, keep] = fine_np[0, :keep.size]
-    return {"pixel_colors_nr": colors_nr,
-            "pixel_colors_nr_fine": fine_img,
-            "kept_rays": int(keep.size)}
+    out = {"kept_rays": int(keep.size)}
+    for k in keep_base:
+        base = np.asarray(jax.device_get(coarse[k]), np.float32)
+        merged = base.copy()  # skipped rays: coarse estimate
+        if fine is not None:
+            fine_np = np.asarray(
+                jax.device_get(fine[k + "_fine"]), np.float32)
+            merged[0, keep] = fine_np[0, :keep.size]
+        out[k] = base
+        out[k + "_fine"] = merged
+    return out
 
 
 def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):

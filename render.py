@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from neuray_tpu.utils.config import load_cfg
 from neuray_tpu.models.renderer import (
     NeurayRenderer, RenderConfig, make_render_fn, make_scene_encode_fn,
-    make_ray_render_fn)
+    make_ray_render_fn, render_frame_skip_empty)
 from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
 
 # stay below the ~60s single-program limit observed on tunneled TPU
@@ -166,6 +166,10 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
         split = (make_scene_encode_fn(renderer),
                  make_ray_render_fn(renderer, tuple(keep)))
 
+    use_skip_empty = (cfg.get("skip_empty_rays", False)
+                      and split is not None
+                      and render_cfg.use_hierarchical_sampling)
+
     use_src_imgs = cfg.get("use_src_imgs", False) or \
         render_cfg.init_net_type == "cost_volume"
     cv_nn_num = cfg.get("cost_volume_nn_num", 3)
@@ -197,7 +201,27 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
         h, w = que_info.pop("shape")
         ref = jax.tree.map(jnp.asarray, ref_info)
         que = jax.tree.map(jnp.asarray, que_info)
-        out = segmented_render(render_fn, params, ref, que, src, split)
+        if use_skip_empty:
+            # two-phase empty-ray skip (cfg: skip_empty_rays) — the
+            # fine pass runs only for rays whose coarse hit-prob sum
+            # clears skip_empty_threshold; skipped rays keep their
+            # coarse estimate (speed/quality trade quantified in
+            # tools/check_skip_quality.py). Kept rays are bit-identical
+            # to the full render.
+            encode_fn_s, _ = split
+            ref_c = encode_fn_s(params, ref, src)
+            keep_base = ["pixel_colors_nr"]
+            if render_cfg.use_dr_prediction:
+                keep_base.append("pixel_colors_dr")
+            if render_depth:
+                keep_base.append("render_depth")
+            out = render_frame_skip_empty(
+                renderer, params, ref_c, que,
+                threshold=cfg.get("skip_empty_threshold", 0.05),
+                keep_base=tuple(keep_base))
+        else:
+            out = segmented_render(render_fn, params, ref, que, src,
+                                   split)
         save_renderings(output_dir, qi, out, h, w)
         if render_depth:
             save_depth(output_dir, qi, out, h, w, que_depth_ranges[qi])

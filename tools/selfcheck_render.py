@@ -86,6 +86,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--keep", action="store_true")
+    parser.add_argument("--skip_empty", action="store_true",
+                        help="drive the two-phase empty-ray-skipping "
+                             "CLI branch (cfg: skip_empty_rays)")
     flags = parser.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="neuray_selfcheck_")
@@ -117,6 +120,9 @@ def main():
         "fine_dist_decoder_cfg": {"use_vis": False},
         "ray_batch_num": 2048,
     }
+    if flags.skip_empty:
+        cfg_dict["skip_empty_rays"] = True
+        cfg_dict["skip_empty_threshold"] = 0.05
     cfg_path = os.path.join(tmp, "selfcheck_gen.yaml")
     import yaml
     with open(cfg_path, "w") as f:
