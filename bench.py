@@ -169,7 +169,9 @@ def main():
         # are bit-identical to the full render; the in-run PSNR of the
         # skip image vs the full image quantifies the quality cost
         # (tools/check_skip_quality.py has the full threshold sweep).
-        threshold = float(os.environ.get("BENCH_SKIP_THRESHOLD", 0.05))
+        # 0.01 measured best: kept 30.9%, 48.9 dB vs the full render,
+        # GT-PSNR unchanged (tools/check_skip_quality.py sweep)
+        threshold = float(os.environ.get("BENCH_SKIP_THRESHOLD", 0.01))
         que_all = dict(que_base, coords=jnp.asarray(que_np["coords"]))
 
         def render_frame_skip():
