@@ -8,10 +8,13 @@ on the analytic sphere scene, and reports rays/s plus a separate
 scene-encode time, proving the cost volume is built ONCE per frame in
 the encode program, not per ray segment.
 
-Ref views are rendered at 1008x768 (the reference pads ref images to
-a 16-multiple, ref_pad_interval=16); src views are the refs
-themselves with nn_ids = the 3 nearest other refs by camera center,
-mirroring render.py's build_src_imgs_info_select union.
+Ref views are rendered at 1024x768 (the cost-volume config pads ref
+images with ref_pad_interval=32: 756->768, 1008->1024, reference
+configs/gen/neuray_gen_cost_volume.yaml:37 — that shape hits MVSNet's
+eval-time 576x768 resize branch, exactly the reference fern path);
+src views are the refs themselves with nn_ids = the 3 nearest other
+refs by camera center, mirroring render.py's
+build_src_imgs_info_select union.
 
 Usage: python tools/bench_cost_volume.py [--cpu] [--frames 2]
 """
@@ -53,7 +56,7 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         qw, qh, rw, rh, dn, chunk, seg = (
-            1008, 756, 1008, 768, 64, flags.chunk, flags.segment)
+            1008, 756, 1024, 768, 64, flags.chunk, flags.segment)
     else:
         qw, qh, rw, rh, dn, chunk, seg = 64, 48, 64, 64, 16, 64, 4096
     rfn, nn = 8, 3
