@@ -317,6 +317,27 @@ def make_ft_render_fn(ft: FtRenderer, mesh=None,
     return jax.jit(impl)
 
 
+def make_ft_encode_fn(ft: FtRenderer):
+    """Jitted FT scene encode: (net_params, ref with ray_feats_raw) ->
+    encoded ref_c (img/ray feats + gather cache). The encoded ref is
+    consumed by the SAME chunked drivers as the gen path
+    (make_ray_render_fn / render_frame_skip_empty) — the FT/gen split
+    is entirely in how ray_feats_raw is produced."""
+    renderer = ft.renderer
+
+    def impl(net_params, ref):
+        ref = dict(ref)
+        raw = ref.pop("ray_feats_raw")
+        img_feats, ray_feats = renderer.apply(
+            net_params, ref, raw, method=NeurayRenderer.encode_scene)
+        ref_c = dict(ref)
+        ref_c["img_feats"] = img_feats
+        ref_c["ray_feats"] = ray_feats
+        return renderer.build_gather_cache(ref_c)
+
+    return jax.jit(impl)
+
+
 def render_video_ft(database_name, cfg_fn, pose_type, pose_fn,
                     render_depth, ray_num, rb, re):
     """FT rendering CLI path (reference render.py:155-194)."""
@@ -336,7 +357,16 @@ def render_video_ft(database_name, cfg_fn, pose_type, pose_fn,
 
     database = ft.database
     que_poses = get_render_poses(database, pose_type, pose_fn)
-    render_fn = make_ft_render_fn(ft)
+    # skip_empty_rays in the FT cfg routes through the SAME two-phase
+    # driver as the gen CLI (render.py:204-221): encode once via
+    # make_ft_encode_fn, then fine-pass only rays with coarse hits.
+    use_skip = (cfg.get("skip_empty_rays", False)
+                and ft.render_cfg.use_hierarchical_sampling)
+    if use_skip:
+        from neuray_tpu.models.renderer import render_frame_skip_empty
+        encode_fn = make_ft_encode_fn(ft)
+    else:
+        render_fn = make_ft_render_fn(ft)
 
     output_dir = (f'data/render/{database_name.replace("/", "_")}/'
                   f'{cfg["name"]}-{pose_type}')
@@ -362,7 +392,14 @@ def render_video_ft(database_name, cfg_fn, pose_type, pose_fn,
                "poses": jnp.asarray(que_poses[qi][None]),
                "Ks": jnp.asarray(K[None]),
                "depth_range": jnp.asarray(dr[None])}
-        out = render_fn(params["net"], ref, que)
+        if use_skip:
+            ref_c = encode_fn(params["net"], ref)
+            out = render_frame_skip_empty(
+                ft.renderer, params["net"], ref_c, que,
+                threshold=cfg.get("skip_empty_threshold", 0.05),
+                keep_base=("pixel_colors_nr",))
+        else:
+            out = render_fn(params["net"], ref, que)
         for suffix in ("nr", "nr_fine"):
             key = f"pixel_colors_{suffix}"
             if key in out:

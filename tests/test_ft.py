@@ -100,3 +100,62 @@ def test_ft_train_step(fake_scene, monkeypatch):
     # the gathered views' ray feats must have been updated
     after = np.asarray(params["ray_feats"])
     assert np.abs(after - ray_feats_before).max() > 0
+
+
+def test_ft_skip_empty_matches_render_fn(fake_scene, monkeypatch):
+    """The FT CLI's skip-empty branch (make_ft_encode_fn +
+    render_frame_skip_empty, ft.py render_video_ft) at threshold=-1
+    reproduces make_ft_render_fn exactly — the FT/gen split is only in
+    how ray_feats_raw is produced, the chunked drivers are shared."""
+    import jax.numpy as jnp
+    from neuray_tpu.data import database as D
+    monkeypatch.setattr(D, "DATA_ROOT", fake_scene)
+    from neuray_tpu.models.ft import (
+        FtRenderer, make_ft_render_fn, make_ft_encode_fn)
+    from neuray_tpu.models.renderer import render_frame_skip_empty
+
+    cfg = {
+        "database_name": "nerf_synthetic/toy/black_800",
+        "database_split": "val_all",
+        "gen_cfg": None,
+        "use_validation": False,
+        "neighbor_view_num": 4,
+        "train_ray_num": 32,
+        "ray_feats_res": [8, 8],
+        "ray_feats_dim": 32,
+        "use_self_hit_prob": False,
+        "use_hierarchical_sampling": True,
+        "depth_sample_num": 8,
+        "fine_depth_sample_num": 8,
+        "ray_batch_num": 64,
+        "ray_mask_point_num": 4,
+        "dist_decoder_cfg": {"use_vis": False},
+        "fine_dist_decoder_cfg": {"use_vis": False},
+    }
+    ft = FtRenderer(cfg)
+    params = ft.init_params()
+
+    ref_idx = np.arange(cfg["neighbor_view_num"])
+    ref = ft._slice_ref(ref_idx)
+    ref["ray_feats_raw"] = jnp.take(
+        params["ray_feats"], jnp.asarray(ref_idx), axis=0)
+    h = w = 16
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    coords = np.stack([xs, ys], -1).reshape(1, -1, 2).astype(np.float32)
+    que = {"coords": jnp.asarray(coords),
+           "poses": jnp.asarray(ft.ref_info["poses"][:1]),
+           "Ks": jnp.asarray(ft.ref_info["Ks"][:1]),
+           "depth_range": jnp.asarray(ft.ref_info["depth_range"][:1])}
+
+    full = make_ft_render_fn(ft)(params["net"], dict(ref), que)
+    full_nr = np.asarray(full["pixel_colors_nr"], np.float32)
+    full_fine = np.asarray(full["pixel_colors_nr_fine"], np.float32)
+
+    ref_c = make_ft_encode_fn(ft)(params["net"], dict(ref))
+    out = render_frame_skip_empty(ft.renderer, params["net"], ref_c, que,
+                                  threshold=-1.0,
+                                  keep_base=("pixel_colors_nr",))
+    assert out["kept_rays"] == h * w
+    np.testing.assert_allclose(out["pixel_colors_nr"], full_nr, atol=1e-6)
+    np.testing.assert_allclose(out["pixel_colors_nr_fine"], full_fine,
+                               atol=1e-6)

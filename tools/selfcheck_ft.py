@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--skip-empty", action="store_true",
+                        help="route the CLI render through the two-phase "
+                             "skip-empty driver (skip_empty_rays cfg)")
     flags = parser.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="neuray_selfcheck_ft_")
@@ -119,6 +122,9 @@ def main():
         "lr_cfg": {"lr_init": 5.0e-4, "decay_step": 100000,
                    "decay_rate": 0.5},
     }
+    if flags.skip_empty:
+        ft_cfg["skip_empty_rays"] = True
+        ft_cfg["skip_empty_threshold"] = 0.01
     trainer = FtTrainer(ft_cfg)
 
     # initialization PSNR on the val views
