@@ -32,9 +32,11 @@ class DefaultAggregationNet(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, prj_dict, que_dir):
+    def __call__(self, prj_dict, que_dir, pos_stride: int = 1):
         """prj_dict fields [rfn,qn,rn,dn,*]: ray_feats, hit_prob, vis,
         rgb, dir, mask, img_feats; que_dir [qn,rn,dn,3].
+        pos_stride: see IBRNetWithNeuRay — lets a reduced-sample probe
+        pass reuse this net's params with faithful ray positions.
         Returns density [qn,rn,dn], colors [qn,rn,dn,3]."""
         dim = self.cfg.get("neuray_dim", 32)
         n_samples = self.cfg.get("sample_num", 64)
@@ -64,7 +66,8 @@ class DefaultAggregationNet(nn.Module):
 
         outs = IBRNetWithNeuRay(dim, n_samples=n_samples, dtype=self.dtype,
                                 name="agg_impl")(
-            prj_img_feats, prob_embedding, dir_diff, valid_mask)
+            prj_img_feats, prob_embedding, dir_diff, valid_mask,
+            pos_stride=pos_stride)
         colors = outs[..., :3]
         density = outs[..., 3]
         return density.reshape(qn, rn, dn), colors.reshape(qn, rn, dn, 3)

@@ -155,7 +155,13 @@ class IBRNetWithNeuRay(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, rgb_feat, neuray_feat, ray_diff, mask):
+    def __call__(self, rgb_feat, neuray_feat, ray_diff, mask,
+                 pos_stride: int = 1):
+        """pos_stride: subsample the ray-attention positional table —
+        a dn-sample call with pos_stride=s uses the positions a
+        (dn*s)-sample call would give its every s-th sample, so a
+        reduced-sample probe pass (renderer.probe_chunk) sees the same
+        absolute positional phase as the full coarse pass."""
         num_views = rgb_feat.shape[2]
         dt = self.dtype
 
@@ -194,8 +200,9 @@ class IBRNetWithNeuRay(nn.Module):
         globalfeat = _Seq((64, 16), "elu", dt, name="geometry_fc")(globalfeat)
         num_valid_obs = jnp.sum(mask, axis=2)                # b,dn,1
 
-        pos_table = jnp.asarray(
-            sinusoid_pos_encoding(16, self.n_samples))
+        pos_table = jnp.asarray(sinusoid_pos_encoding(
+            16, max(self.n_samples, globalfeat.shape[1] * pos_stride)))
+        pos_table = pos_table[:, ::pos_stride]
         globalfeat = globalfeat + pos_table[:, :globalfeat.shape[1]]
         attn_mask = (num_valid_obs > 1).astype(globalfeat.dtype)  # b,dn,1
         globalfeat, _ = MultiHeadAttention(

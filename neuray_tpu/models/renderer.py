@@ -69,6 +69,11 @@ class RenderConfig:
     use_depth_loss: bool = False
     depth_loss_coords_num: int = 8192
 
+    # Depth samples for the cheap emptiness probe (three-phase skip
+    # render, render_frame_probe_skip): gather taps scale linearly in
+    # this, surface detection only needs coarse coverage of the range.
+    probe_sample_num: int = 16
+
     use_bf16: bool = False         # bf16 conv/agg compute on the MXU
     # "none" | "u8": quantize the fused gather map to uint8 rows
     # (403B < the 512B index-rate knee; rgb exact for 8-bit sources,
@@ -399,6 +404,44 @@ class NeurayRenderer(nn.Module):
                 outputs[k + "_fine"] = v
         return outputs
 
+    def probe_chunk(self, ref: Dict[str, jnp.ndarray],
+                    que: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Per-ray emptiness score: the COARSE network pass at
+        ``probe_sample_num`` (< depth_sample_num) samples, scored as
+        the per-ray sum of the aggregated hit probability [qn, rn].
+
+        The score must come from the aggregation net: emptiness is a
+        cross-view-consistency property, and per-view dist-decoder hit
+        mass telescopes to ~1 along ANY query ray (each reference
+        ray's mixture puts its surface somewhere in the sampled
+        range), so a decoder-only probe cannot separate empty from
+        occupied rays — measured on trained weights with
+        tools/diag_probe_score.py: decoder-only scores cluster at 1.0
+        for both classes. This probe reuses the coarse agg_net params;
+        the ray-attention positional table is strided (pos_stride) so
+        probe sample j sits at the position of full-coarse sample
+        j*stride.
+
+        Cost scales with probe_sample_num/depth_sample_num: 1/4 of the
+        coarse gather taps (the measured frame floor) and ~1/4 of the
+        aggregation at the default 16 — the score phase of the
+        three-phase skip render (render_frame_probe_skip)."""
+        c = self.cfg
+        qn, rn, _ = que["coords"].shape
+        que_depth, _ = S.sample_depth(
+            que["depth_range"], qn, rn, c.probe_sample_num, False)
+        que_dists = S.depth2inv_dists(que_depth, que["depth_range"])
+        que_pts, que_dir = G.depth2points(
+            que["coords"], que["poses"], que["Ks"], que_depth)
+        prj = self._project_and_gather(ref, que_pts)
+        prj = self._predict_proj_ray_prob(
+            prj, ref["depth_range"], que_dists, False)
+        stride = max(1, c.depth_sample_num // c.probe_sample_num)
+        density, _ = self.agg_net(prj, que_dir, pos_stride=stride)
+        alpha = 1.0 - jnp.exp(-nn.relu(density))
+        hit_prob = alpha_values2hit_prob(alpha)
+        return jnp.sum(hit_prob, -1)                          # qn,rn
+
     def render_chunk_fine(self, ref: Dict[str, jnp.ndarray],
                           que: Dict[str, jnp.ndarray],
                           hit_prob_nr: jnp.ndarray):
@@ -605,6 +648,122 @@ def make_fine_render_fn(renderer: NeurayRenderer,
     fn = jax.jit(impl)
     _RENDER_FN_CACHE[cache_key] = fn
     return fn
+
+
+def make_probe_fn(renderer: NeurayRenderer):
+    """Jitted chunked emptiness-probe loop over an encoded ref:
+    (params, ref_c, que) -> per-ray score [qn, rn]."""
+    cache_key = (renderer.cfg, "probe")
+    if cache_key in _RENDER_FN_CACHE:
+        return _RENDER_FN_CACHE[cache_key]
+    c = renderer.cfg
+
+    def impl(params, ref_c, que):
+        chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)
+
+        def probe_one(coords_chunk):
+            que_c = dict(que)
+            que_c["coords"] = coords_chunk
+            return renderer.apply(params, ref_c, que_c,
+                                  method=NeurayRenderer.probe_chunk)
+
+        scores = jax.lax.map(probe_one, chunks)   # n_chunks, qn, chunk
+        return scores.transpose(1, 0, 2).reshape(
+            scores.shape[1], -1)[:, :rn]
+
+    fn = jax.jit(impl)
+    _RENDER_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
+                            que, threshold: float = 0.005,
+                            bucket_chunks: int = 32,
+                            keep_base=("pixel_colors_nr",),
+                            image_hw=None, dilate: int = 0):
+    """THREE-phase eval render: a cheap probe scores every ray, then
+    the full coarse+fine program runs ONLY on rays the probe kept;
+    skipped rays output the empty-ray background (zeros — compositing
+    has no background term, so an empty ray's rendered color is the
+    all-miss integral ~0).
+
+    vs render_frame_skip_empty (two-phase): the coarse pass there still
+    pays all rays at depth_sample_num samples + the full aggregation
+    net (measured 60% of the frame, tools/profile_skip_phases.py); the
+    probe costs probe_sample_num/depth_sample_num of the coarse taps
+    and no aggregation. Kept rays remain BIT-IDENTICAL to the full
+    render (the kept set is decided host-side; per-ray math does not
+    change). Probe-vs-network keep-set mismatch is the quality risk —
+    quantified per threshold in tools/check_skip_quality.py --probe.
+
+    The reduced-sample probe can miss thin-silhouette rays; for
+    full-image queries pass ``image_hw=(h, w)`` (row-major rays) and
+    ``dilate=d`` to grow the keep mask by d pixels (host-side 3x3 max
+    filter, iterated) — the conservative fix: a ring of extra kept
+    rays instead of missed surface pixels.
+
+    Returns, per key k in keep_base: ``k`` (coarse; zeros for skipped
+    rays) and ``k + "_fine"`` (fine for kept, zeros for skipped), plus
+    ``kept_rays``; arrays are numpy.
+    """
+    import numpy as np
+
+    c = renderer.cfg
+    assert c.use_hierarchical_sampling
+    keep_base = tuple(keep_base)
+    probe_fn = make_probe_fn(renderer)
+    rays_fn = make_ray_render_fn(
+        renderer,
+        keep_keys=keep_base + tuple(k + "_fine" for k in keep_base))
+
+    score = np.asarray(jax.device_get(probe_fn(params, ref_c, que)))
+
+    qn, rn, _ = que["coords"].shape
+    assert qn == 1, "skip-empty driver is per-query-view"
+    keep_mask = score[0] > threshold
+    if dilate > 0 and image_hw is not None:
+        h, w = image_hw
+        m = keep_mask.reshape(h, w)
+        for _ in range(dilate):
+            g = m.copy()
+            g[1:] |= m[:-1]
+            g[:-1] |= m[1:]
+            g[:, 1:] |= m[:, :-1]
+            g[:, :-1] |= m[:, 1:]
+            g[1:, 1:] |= m[:-1, :-1]
+            g[1:, :-1] |= m[:-1, 1:]
+            g[:-1, 1:] |= m[1:, :-1]
+            g[:-1, :-1] |= m[1:, 1:]
+            m = g
+        keep_mask = m.reshape(-1)
+    keep = np.nonzero(keep_mask)[0]
+    kept_out = None
+    if keep.size:
+        chunk = c.ray_batch_num
+        ceil = lambda a, b: -(-a // b)
+        total_chunks = ceil(rn, chunk)
+        bucket = min(bucket_chunks, total_chunks)
+        n_chunks = min(ceil(ceil(keep.size, chunk), bucket) * bucket,
+                       total_chunks)
+        k_pad = n_chunks * chunk
+        keep_padded = np.pad(keep, (0, k_pad - keep.size), mode="edge") \
+            if k_pad > keep.size else keep[:k_pad]
+        que_k = dict(que)
+        que_k["coords"] = jnp.take(
+            que["coords"], jnp.asarray(keep_padded), axis=1)
+        kept_out = rays_fn(params, ref_c, que_k)
+    out = {"kept_rays": int(keep.size)}
+    for k in keep_base:
+        for suffix in ("", "_fine"):
+            if kept_out is not None:
+                vals = np.asarray(
+                    jax.device_get(kept_out[k + suffix]), np.float32)
+                full = np.zeros((qn, rn) + vals.shape[2:], np.float32)
+                full[0, keep] = vals[0, :keep.size]
+            else:
+                full = np.zeros((qn, rn, 3), np.float32)
+            out[k + suffix] = full
+    return out
 
 
 def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,

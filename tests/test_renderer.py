@@ -235,3 +235,79 @@ def test_skip_empty_render_matches_full(rng):
                     == out_skip["pixel_colors_nr"]).all(-1)
     exact_mask = kept < 1e-6
     assert (exact_mask | skipped_mask).all()
+
+
+def test_probe_skip_render_matches_full(rng):
+    """The THREE-phase probe-skip driver (render_frame_probe_skip):
+    threshold=-1 (probe keeps all) reproduces the single-phase render
+    EXACTLY; a mid-score threshold keeps those rays exact and zeros
+    the skipped rays (the empty-ray background)."""
+    import jax
+    from neuray_tpu.models.renderer import (
+        NeurayRenderer, RenderConfig, render_full, make_scene_encode_fn,
+        make_probe_fn, render_frame_probe_skip)
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+
+    r = np.random.RandomState(7)
+    h = w = 32
+    ref = jax.tree.map(jnp.asarray, make_sphere_scene(r, 3, h, w))
+    que_np = make_query(r, h, w, rn=0, full_image=True)
+    que = {k: jnp.asarray(v) for k, v in que_np.items() if k != "imgs"}
+
+    cfg = RenderConfig(use_hierarchical_sampling=True, depth_sample_num=8,
+                       fine_depth_sample_num=8, ray_batch_num=64,
+                       probe_sample_num=4, use_vis=False,
+                       fine_use_vis=False, ray_mask_point_num=4)
+    renderer = NeurayRenderer(cfg)
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ref, dict(que, coords=que["coords"][:, :64]), False)
+
+    full = render_full(renderer, params, ref, que,
+                       keep_keys=("pixel_colors_nr",
+                                  "pixel_colors_nr_fine"))
+    full_nr = np.asarray(full["pixel_colors_nr"], np.float32)
+    full_fine = np.asarray(full["pixel_colors_nr_fine"], np.float32)
+
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+    out_all = render_frame_probe_skip(renderer, params, ref_c, que,
+                                      threshold=-1.0)
+    assert out_all["kept_rays"] == que["coords"].shape[1]
+    np.testing.assert_allclose(out_all["pixel_colors_nr"], full_nr,
+                               atol=1e-6)
+    np.testing.assert_allclose(out_all["pixel_colors_nr_fine"], full_fine,
+                               atol=1e-6)
+
+    # split the rays at the median probe score so both branches run
+    score = np.asarray(make_probe_fn(renderer)(params, ref_c, que))[0]
+    th = float(np.median(score))
+    out_skip = render_frame_probe_skip(renderer, params, ref_c, que,
+                                       threshold=th)
+    keep = np.nonzero(score > th)[0]
+    assert 0 < out_skip["kept_rays"] < que["coords"].shape[1]
+    assert out_skip["kept_rays"] == keep.size
+    np.testing.assert_array_equal(
+        out_skip["pixel_colors_nr_fine"][0, keep], full_fine[0, keep])
+    skipped = np.setdiff1d(np.arange(score.size), keep)
+    assert (out_skip["pixel_colors_nr_fine"][0, skipped] == 0).all()
+    assert (out_skip["pixel_colors_nr"][0, skipped] == 0).all()
+
+    # dilation grows the keep set to exactly the 3x3-max of the mask
+    out_dil = render_frame_probe_skip(renderer, params, ref_c, que,
+                                      threshold=th, image_hw=(h, w),
+                                      dilate=1)
+    m = (score > th).reshape(h, w)
+    exp = m.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            sl = np.zeros_like(m)
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            yd = slice(max(-dy, 0), h + min(-dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            xd = slice(max(-dx, 0), w + min(-dx, 0))
+            sl[yd, xd] = m[ys, xs]
+            exp |= sl
+    assert out_dil["kept_rays"] == int(exp.sum())
+    keep_d = np.nonzero(exp.reshape(-1))[0]
+    np.testing.assert_array_equal(
+        out_dil["pixel_colors_nr_fine"][0, keep_d], full_fine[0, keep_d])

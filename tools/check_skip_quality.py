@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--segment", type=int, default=327680)
     ap.add_argument("--thresholds", default="0.01,0.05,0.1")
+    ap.add_argument("--probe", action="store_true",
+                    help="also sweep the THREE-phase probe-skip render")
+    ap.add_argument("--probe-samples", default="8,16",
+                    help="probe_sample_num values to sweep")
+    ap.add_argument("--probe-thresholds", default="0.001,0.005,0.02")
+    ap.add_argument("--probe-dilates", default="0,1,2")
     ap.add_argument("--weights", default=os.path.join(
         TOOLS, "bench_weights.npz"))
     ap.add_argument("--cpu", action="store_true")
@@ -127,6 +133,39 @@ def main():
             "rays_per_s": round(n_rays / dt, 1),
             "psnr_vs_full": round(psnr(img, full), 3),
             "psnr_vs_gt": round(psnr(img, gt), 3)}), flush=True)
+
+    if not flags.probe:
+        return
+
+    from neuray_tpu.models.renderer import render_frame_probe_skip
+    for psn in [int(x) for x in flags.probe_samples.split(",")]:
+        cfg_p = RenderConfig(
+            use_hierarchical_sampling=True, depth_sample_num=dn,
+            fine_depth_sample_num=dn, ray_batch_num=chunk,
+            probe_sample_num=psn, use_vis=False, fine_use_vis=False,
+            use_bf16=on_tpu, gather_quant="u8" if on_tpu else "none")
+        renderer_p = NeurayRenderer(cfg_p)
+        encode_p = make_scene_encode_fn(renderer_p)
+        ref_cp = encode_p(params, ref)
+        for th in [float(x) for x in flags.probe_thresholds.split(",")]:
+            for dil in [int(x) for x in flags.probe_dilates.split(",")]:
+                out = render_frame_probe_skip(
+                    renderer_p, params, ref_cp, que_all, threshold=th,
+                    image_hw=(h, w), dilate=dil)
+                t0 = time.perf_counter()
+                out = render_frame_probe_skip(
+                    renderer_p, params, ref_cp, que_all, threshold=th,
+                    image_hw=(h, w), dilate=dil)
+                dt = time.perf_counter() - t0
+                img = out["pixel_colors_nr_fine"][0]
+                print(json.dumps({
+                    "mode": "probe", "probe_samples": psn,
+                    "threshold": th, "dilate": dil,
+                    "kept_fraction": round(out["kept_rays"] / n_rays, 4),
+                    "time_s": round(dt, 2),
+                    "rays_per_s": round(n_rays / dt, 1),
+                    "psnr_vs_full": round(psnr(img, full), 3),
+                    "psnr_vs_gt": round(psnr(img, gt), 3)}), flush=True)
 
 
 if __name__ == "__main__":
