@@ -357,13 +357,16 @@ def render_video_ft(database_name, cfg_fn, pose_type, pose_fn,
 
     database = ft.database
     que_poses = get_render_poses(database, pose_type, pose_fn)
-    # skip_empty_rays in the FT cfg routes through the SAME two-phase
-    # driver as the gen CLI (render.py:204-221): encode once via
-    # make_ft_encode_fn, then fine-pass only rays with coarse hits.
+    # skip_empty_rays in the FT cfg routes through the SAME skip
+    # drivers as the gen CLI (render.py:204-231): encode once via
+    # make_ft_encode_fn, then either gate the fine pass (two_phase) or
+    # probe-score first and run coarse+fine only on kept rays
+    # (skip_mode: probe).
     use_skip = (cfg.get("skip_empty_rays", False)
                 and ft.render_cfg.use_hierarchical_sampling)
     if use_skip:
-        from neuray_tpu.models.renderer import render_frame_skip_empty
+        from neuray_tpu.models.renderer import (
+            render_frame_skip_empty, render_frame_probe_skip)
         encode_fn = make_ft_encode_fn(ft)
     else:
         render_fn = make_ft_render_fn(ft)
@@ -394,10 +397,17 @@ def render_video_ft(database_name, cfg_fn, pose_type, pose_fn,
                "depth_range": jnp.asarray(dr[None])}
         if use_skip:
             ref_c = encode_fn(params["net"], ref)
-            out = render_frame_skip_empty(
-                ft.renderer, params["net"], ref_c, que,
-                threshold=cfg.get("skip_empty_threshold", 0.05),
-                keep_base=("pixel_colors_nr",))
+            if cfg.get("skip_mode", "two_phase") == "probe":
+                out = render_frame_probe_skip(
+                    ft.renderer, params["net"], ref_c, que,
+                    threshold=cfg.get("skip_empty_threshold", 0.05),
+                    keep_base=("pixel_colors_nr",), image_hw=(h, w),
+                    dilate=cfg.get("probe_dilate", 1))
+            else:
+                out = render_frame_skip_empty(
+                    ft.renderer, params["net"], ref_c, que,
+                    threshold=cfg.get("skip_empty_threshold", 0.05),
+                    keep_base=("pixel_colors_nr",))
         else:
             out = render_fn(params["net"], ref, que)
         for suffix in ("nr", "nr_fine"):

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from neuray_tpu.utils.config import load_cfg
 from neuray_tpu.models.renderer import (
     NeurayRenderer, RenderConfig, make_render_fn, make_scene_encode_fn,
-    make_ray_render_fn, render_frame_skip_empty)
+    make_ray_render_fn, render_frame_skip_empty,
+    render_frame_probe_skip)
 from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
 
 # stay below the ~60s single-program limit observed on tunneled TPU
@@ -202,12 +203,15 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
         ref = jax.tree.map(jnp.asarray, ref_info)
         que = jax.tree.map(jnp.asarray, que_info)
         if use_skip_empty:
-            # two-phase empty-ray skip (cfg: skip_empty_rays) — the
-            # fine pass runs only for rays whose coarse hit-prob sum
-            # clears skip_empty_threshold; skipped rays keep their
-            # coarse estimate (speed/quality trade quantified in
+            # empty-ray skip (cfg: skip_empty_rays). skip_mode=probe
+            # (default two_phase for output backward-compat): a
+            # reduced-sample network probe scores rays first, then
+            # coarse+fine run only on kept rays — skipped rays output
+            # the empty-ray background; with two_phase the fine pass
+            # alone is gated and skipped rays keep their coarse
+            # estimate (speed/quality trade in
             # tools/check_skip_quality.py). Kept rays are bit-identical
-            # to the full render.
+            # to the full render in both modes.
             encode_fn_s, _ = split
             ref_c = encode_fn_s(params, ref, src)
             keep_base = ["pixel_colors_nr"]
@@ -215,10 +219,17 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                 keep_base.append("pixel_colors_dr")
             if render_depth:
                 keep_base.append("render_depth")
-            out = render_frame_skip_empty(
-                renderer, params, ref_c, que,
-                threshold=cfg.get("skip_empty_threshold", 0.05),
-                keep_base=tuple(keep_base))
+            if cfg.get("skip_mode", "two_phase") == "probe":
+                out = render_frame_probe_skip(
+                    renderer, params, ref_c, que,
+                    threshold=cfg.get("skip_empty_threshold", 0.05),
+                    keep_base=tuple(keep_base), image_hw=(h, w),
+                    dilate=cfg.get("probe_dilate", 1))
+            else:
+                out = render_frame_skip_empty(
+                    renderer, params, ref_c, que,
+                    threshold=cfg.get("skip_empty_threshold", 0.05),
+                    keep_base=tuple(keep_base))
         else:
             out = segmented_render(render_fn, params, ref, que, src,
                                    split)

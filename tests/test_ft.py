@@ -159,3 +159,14 @@ def test_ft_skip_empty_matches_render_fn(fake_scene, monkeypatch):
     np.testing.assert_allclose(out["pixel_colors_nr"], full_nr, atol=1e-6)
     np.testing.assert_allclose(out["pixel_colors_nr_fine"], full_fine,
                                atol=1e-6)
+
+    # the probe route (ft cfg skip_mode: probe) over the same encoded
+    # ref: threshold=-1 keeps all rays and matches exactly too
+    from neuray_tpu.models.renderer import render_frame_probe_skip
+    out_p = render_frame_probe_skip(ft.renderer, params["net"], ref_c,
+                                    que, threshold=-1.0,
+                                    keep_base=("pixel_colors_nr",),
+                                    image_hw=(h, w), dilate=1)
+    assert out_p["kept_rays"] == h * w
+    np.testing.assert_allclose(out_p["pixel_colors_nr_fine"], full_fine,
+                               atol=1e-6)

@@ -89,6 +89,10 @@ def main():
     parser.add_argument("--skip_empty", action="store_true",
                         help="drive the two-phase empty-ray-skipping "
                              "CLI branch (cfg: skip_empty_rays)")
+    parser.add_argument("--skip_mode", default="two_phase",
+                        choices=["two_phase", "probe"],
+                        help="with --skip_empty: which skip driver the "
+                             "CLI routes through (cfg: skip_mode)")
     flags = parser.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="neuray_selfcheck_")
@@ -123,6 +127,8 @@ def main():
     if flags.skip_empty:
         cfg_dict["skip_empty_rays"] = True
         cfg_dict["skip_empty_threshold"] = 0.05
+        cfg_dict["skip_mode"] = flags.skip_mode
+        cfg_dict["probe_sample_num"] = 8
     cfg_path = os.path.join(tmp, "selfcheck_gen.yaml")
     import yaml
     with open(cfg_path, "w") as f:
