@@ -62,6 +62,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # dev knob: BENCH_CPU_DEVICES=8 exercises the multi-chip branch on
+    # a virtual CPU mesh (jax is pre-imported on this box, so env vars
+    # alone cannot switch platforms)
+    force_n = int(os.environ.get("BENCH_CPU_DEVICES", "0"))
+    if force_n:
+        from __graft_entry__ import _provision_virtual_cpu_mesh
+        _provision_virtual_cpu_mesh(force_n)
+
     from neuray_tpu.models.renderer import (
         NeurayRenderer, RenderConfig, make_scene_encode_fn,
         make_ray_render_fn, render_frame_skip_empty,
@@ -114,8 +122,10 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "tools",
         "bench_weights.npz")
     n_dev = len(jax.devices())
-    use_skip = (os.path.exists(weights_path) and n_dev == 1
-                and os.environ.get("BENCH_SKIP", "1") != "0")
+    skip_mode = os.environ.get("BENCH_SKIP_MODE", "probe")
+    use_skip = (os.path.exists(weights_path)
+                and os.environ.get("BENCH_SKIP", "1") != "0"
+                and (n_dev == 1 or skip_mode == "probe"))
     if os.path.exists(weights_path):
         params = load_params_npz(weights_path)
     else:
@@ -180,16 +190,24 @@ def main():
         # selects the older coarse-everywhere variant
         # (tools/check_skip_quality.py has the full sweep).
         threshold = float(os.environ.get("BENCH_SKIP_THRESHOLD", 0.01))
-        mode = os.environ.get("BENCH_SKIP_MODE", "probe")
+        mode = skip_mode
         dilate = int(os.environ.get("BENCH_PROBE_DILATE", 1))
         que_all = dict(que_base, coords=jnp.asarray(que_np["coords"]))
+        # multi-chip: probe + kept phase shard the ray axis
+        # (tests/test_parallel.py: sharded == unsharded); the
+        # two_phase driver stays single-device
+        skip_mesh = None
+        if n_dev > 1:
+            from neuray_tpu.parallel.sharding import make_mesh
+            skip_mesh = make_mesh(n_dev)
 
         def render_frame_skip():
             ref_c = encode_fn(params, ref)
             if mode == "probe":
                 return render_frame_probe_skip(
                     renderer, params, ref_c, que_all,
-                    threshold=threshold, image_hw=(h, w), dilate=dilate)
+                    threshold=threshold, image_hw=(h, w), dilate=dilate,
+                    mesh=skip_mesh)
             return render_frame_skip_empty(
                 renderer, params, ref_c, que_all, threshold=threshold)
 

@@ -680,7 +680,8 @@ def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
                             que, threshold: float = 0.005,
                             bucket_chunks: int = 32,
                             keep_base=("pixel_colors_nr",),
-                            image_hw=None, dilate: int = 0):
+                            image_hw=None, dilate: int = 0,
+                            mesh=None):
     """THREE-phase eval render: a cheap probe scores every ray, then
     the full coarse+fine program runs ONLY on rays the probe kept;
     skipped rays output the empty-ray background (zeros — compositing
@@ -711,10 +712,19 @@ def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
     c = renderer.cfg
     assert c.use_hierarchical_sampling
     keep_base = tuple(keep_base)
-    probe_fn = make_probe_fn(renderer)
-    rays_fn = make_ray_render_fn(
-        renderer,
-        keep_keys=keep_base + tuple(k + "_fine" for k in keep_base))
+    keep_keys = keep_base + tuple(k + "_fine" for k in keep_base)
+    if mesh is not None and mesh.devices.size > 1:
+        # multi-chip: probe and kept phase both shard the ray axis
+        # (parallel/sharding.py; verified == unsharded on the virtual
+        # CPU mesh, tests/test_parallel.py)
+        from neuray_tpu.parallel.sharding import (
+            make_sharded_probe_fn, make_sharded_render_fn)
+        probe_fn = make_sharded_probe_fn(renderer, mesh)
+        rays_fn = make_sharded_render_fn(
+            renderer, mesh, keep_keys=keep_keys, pre_encoded=True)
+    else:
+        probe_fn = make_probe_fn(renderer)
+        rays_fn = make_ray_render_fn(renderer, keep_keys=keep_keys)
 
     score = np.asarray(jax.device_get(probe_fn(params, ref_c, que)))
 

@@ -125,6 +125,53 @@ def make_sharded_render_fn(renderer: NeurayRenderer, mesh: Mesh,
     return fn
 
 
+def make_sharded_probe_fn(renderer: NeurayRenderer, mesh: Mesh):
+    """Jitted emptiness probe (renderer.probe_chunk) with the ray axis
+    sharded over the mesh: (params, ref_c, que) -> score [qn, rn].
+    The encoded scene is replicated; no collectives in the loop —
+    the multi-chip leg of the three-phase probe-skip render
+    (renderer.render_frame_probe_skip(mesh=...))."""
+    key = (renderer.cfg, mesh.shape_tuple, "probe")
+    if key in _SHARDED_RENDER_CACHE:
+        return _SHARDED_RENDER_CACHE[key]
+
+    c = renderer.cfg
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def impl(params, ref_c, que):
+        qn, rn, _ = que["coords"].shape
+        per_dev = -(-rn // (n_dev * c.ray_batch_num)) * c.ray_batch_num
+        pad = n_dev * per_dev - rn
+        coords = jnp.pad(que["coords"], ((0, 0), (0, pad), (0, 0)),
+                         mode="edge")
+        coords = coords.reshape(qn, n_dev, per_dev, 2).transpose(1, 0, 2, 3)
+        que_base = {k: v for k, v in que.items() if k != "coords"}
+
+        def probe_shard(coords_shard):
+            chunks, _ = chunk_coords(coords_shard[0], c.ray_batch_num)
+
+            def probe_one(cc):
+                q = dict(que_base)
+                q["coords"] = cc
+                return renderer.apply(params, ref_c, q,
+                                      method=NeurayRenderer.probe_chunk)
+
+            scores = jax.lax.map(probe_one, chunks)  # n_chunks, qn, chunk
+            return scores.transpose(1, 0, 2).reshape(
+                scores.shape[1], -1)[None]
+
+        scores = jax.shard_map(
+            probe_shard, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis),
+            check_vma=False)(coords)            # n_dev, qn, per_dev
+        return scores.transpose(1, 0, 2).reshape(qn, -1)[:, :rn]
+
+    fn = jax.jit(impl)
+    _SHARDED_RENDER_CACHE[key] = fn
+    return fn
+
+
 # ------------------------- DP training step -------------------------
 
 

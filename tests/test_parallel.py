@@ -105,3 +105,43 @@ def test_sharded_segmented_preencoded_matches_plain(setup):
     np.testing.assert_allclose(
         got, np.asarray(plain["pixel_colors_nr_fine"]),
         rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_probe_skip_matches_unsharded(setup):
+    """The three-phase probe-skip with mesh= shards the probe and the
+    kept phase over 8 devices: scores and outputs must match the
+    single-device driver at the same threshold."""
+    from neuray_tpu.models.renderer import (
+        make_scene_encode_fn, make_probe_fn, render_frame_probe_skip)
+    from neuray_tpu.parallel.sharding import make_sharded_probe_fn
+    renderer, params, ref, que = setup
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(3)
+    que_np = make_query(rng, 32, 32, rn=0, full_image=True)
+    que_full = {k: jnp.asarray(v) for k, v in que_np.items()
+                if k != "imgs"}
+
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+    score_plain = np.asarray(make_probe_fn(renderer)(
+        params, ref_c, que_full))
+    score_shard = np.asarray(make_sharded_probe_fn(renderer, mesh)(
+        params, ref_c, que_full))
+    np.testing.assert_allclose(score_shard, score_plain,
+                               rtol=1e-4, atol=1e-5)
+
+    # threshold at the widest score gap around the middle, so last-ulp
+    # shard/plain differences cannot flip any keep decision
+    s = np.sort(score_plain[0])
+    lo, hi = len(s) // 4, 3 * len(s) // 4
+    gaps = np.diff(s[lo:hi])
+    gi = lo + int(np.argmax(gaps))
+    th = float((s[gi] + s[gi + 1]) / 2)
+    out_plain = render_frame_probe_skip(renderer, params, ref_c,
+                                        que_full, threshold=th)
+    out_shard = render_frame_probe_skip(renderer, params, ref_c,
+                                        que_full, threshold=th,
+                                        mesh=mesh)
+    assert out_shard["kept_rays"] == out_plain["kept_rays"]
+    np.testing.assert_allclose(
+        out_shard["pixel_colors_nr_fine"],
+        out_plain["pixel_colors_nr_fine"], rtol=1e-4, atol=1e-5)
