@@ -212,6 +212,15 @@ def main():
                 renderer, params, ref_c, que_all, threshold=threshold)
 
         out = render_frame_skip()  # warmup / compile
+        # time the scene encode alone so an amortized (per-scene
+        # encode, many poses) number can be reported alongside the
+        # per-frame-encode headline
+        ref_c_t = encode_fn(params, ref)
+        np.asarray(jax.device_get(jax.tree.leaves(ref_c_t)[0]))
+        t0 = time.perf_counter()
+        ref_c_t = encode_fn(params, ref)
+        np.asarray(jax.device_get(jax.tree.leaves(ref_c_t)[0]))
+        encode_s = time.perf_counter() - t0
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -238,6 +247,9 @@ def main():
                 out["pixel_colors_nr_fine"][0]),
             "full_psnr_vs_gt_db": psnr_gt(full_img[0]),
         }
+        skip_stats["encode_s"] = round(encode_s, 2)
+        skip_stats["amortized_rays_per_sec"] = round(
+            n_rays / max(dt - encode_s, 1e-6), 1)
         if mode == "probe":
             skip_stats["probe_dilate"] = dilate
             skip_stats["probe_sample_num"] = probe_sn

@@ -43,44 +43,84 @@ def look_at_camera(rng: np.random.RandomState, h: int, w: int,
     return pose, K
 
 
-def render_sphere_view(pose: np.ndarray, K: np.ndarray, h: int, w: int):
-    """Analytic render of the diffuse unit sphere.
+def render_spheres_view(pose: np.ndarray, K: np.ndarray, h: int, w: int,
+                        spheres):
+    """Analytic render of a set of diffuse spheres
+    (``spheres`` = iterable of (center [3], radius, palette)):
+    nearest-intersection depth test per pixel.
     Returns (rgb [h,w,3] f32 0..1, zdepth [h,w] f32, mask [h,w] bool)."""
     xs, ys = np.meshgrid(np.arange(w), np.arange(h))
     pix = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float32)
     Kinv = np.linalg.inv(K)
     dirs_cam = pix @ Kinv.T
     R, t = pose[:, :3], pose[:, 3]
-    center = -R.T @ t
+    cam = -R.T @ t
     dirs = dirs_cam @ R  # world-space ray directions per pixel
 
-    # ray-sphere intersection, radius 1 around the origin
-    b = 2 * dirs @ center
+    best_t = np.full((h, w), np.inf, np.float32)
+    rgb = np.zeros((h, w, 3), np.float32)
+    light = np.array([0.5, 0.5, 0.7])
     a = np.sum(dirs * dirs, -1)
-    c = center @ center - 1.0
-    disc = b * b - 4 * a * c
-    hit = disc > 0
-    tt = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0)
-    pts = center[None, None] + dirs * tt[..., None]
+    for center, radius, palette in spheres:
+        oc = cam - np.asarray(center, np.float64)
+        b = 2 * dirs @ oc
+        c = oc @ oc - radius * radius
+        disc = b * b - 4 * a * c
+        hit_s = disc > 0
+        tt = np.where(hit_s, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a),
+                      np.inf)
+        closer = (tt > 0) & (tt < best_t)
+        tt_f = np.where(closer, tt, 0.0)  # keep inf out of the shading
+        pts = cam[None, None] + dirs * tt_f[..., None]
+        normal = (pts - np.asarray(center)) / radius
+        shade = np.clip(normal @ light, 0, 1)
+        col = np.stack([shade * palette[0], shade * palette[1],
+                        (1 - shade) * palette[2]], -1)
+        rgb = np.where(closer[..., None], col, rgb)
+        best_t = np.where(closer, tt, best_t)
 
-    shade = np.clip(pts @ np.array([0.5, 0.5, 0.7]), 0, 1)
-    rgb = np.where(hit[..., None],
-                   np.stack([shade, shade * 0.5, 1 - shade], -1),
-                   0.0).astype(np.float32)
+    hit = np.isfinite(best_t)
+    tt = np.where(hit, best_t, 0.0)
+    pts = cam[None, None] + dirs * tt[..., None]
     zdepth = np.where(hit, pts @ R[2] + t[2], 0).astype(np.float32)
-    return rgb, zdepth, hit
+    return rgb.astype(np.float32), zdepth, hit
+
+
+UNIT_SPHERE = (((0.0, 0.0, 0.0), 1.0, (1.0, 0.5, 1.0)),)
+
+
+def render_sphere_view(pose: np.ndarray, K: np.ndarray, h: int, w: int):
+    """Analytic render of the diffuse unit sphere.
+    Returns (rgb [h,w,3] f32 0..1, zdepth [h,w] f32, mask [h,w] bool)."""
+    return render_spheres_view(pose, K, h, w, UNIT_SPHERE)
+
+
+def make_blob_spheres(rng: np.random.RandomState, n: int = 5):
+    """n spheres of varying size scattered in the unit ball, always
+    including one THIN one (radius 0.08) — the hard case for a
+    reduced-sample emptiness probe (silhouette misses)."""
+    spheres = []
+    for i in range(n):
+        center = rng.randn(3)
+        center = center / np.linalg.norm(center) * rng.uniform(0.15, 0.7)
+        radius = 0.08 if i == 0 else rng.uniform(0.15, 0.45)
+        palette = tuple(rng.uniform(0.4, 1.0, 3))
+        spheres.append((tuple(center), radius, palette))
+    return tuple(spheres)
 
 
 def make_sphere_scene(rng: np.random.RandomState, rfn: int, h: int,
-                      w: int) -> Dict[str, np.ndarray]:
-    """rfn reference views of the sphere, in the renderer's ref schema:
-    {imgs [rfn,h,w,3], poses [rfn,3,4], Ks [rfn,3,3], depth_range
-    [rfn,2], depth [rfn,h,w,1]}. Depth is the exact z-depth (the
-    "COLMAP estimate" for the depth init net)."""
+                      w: int, spheres=UNIT_SPHERE) -> Dict[str, np.ndarray]:
+    """rfn reference views of the sphere(s), in the renderer's ref
+    schema: {imgs [rfn,h,w,3], poses [rfn,3,4], Ks [rfn,3,3],
+    depth_range [rfn,2], depth [rfn,h,w,1]}. Depth is the exact z-depth
+    (the "COLMAP estimate" for the depth init net). Pass
+    ``spheres=make_blob_spheres(rng)`` for the harder multi-object
+    scene."""
     imgs, poses, Ks, depths = [], [], [], []
     for _ in range(rfn):
         pose, K = look_at_camera(rng, h, w)
-        rgb, zdepth, _ = render_sphere_view(pose, K, h, w)
+        rgb, zdepth, _ = render_spheres_view(pose, K, h, w, spheres)
         imgs.append(rgb)
         poses.append(pose)
         Ks.append(K)
@@ -96,13 +136,14 @@ def make_sphere_scene(rng: np.random.RandomState, rfn: int, h: int,
 
 
 def make_query(rng: np.random.RandomState, h: int, w: int, rn: int,
-               full_image: bool = False) -> Dict[str, np.ndarray]:
+               full_image: bool = False,
+               spheres=UNIT_SPHERE) -> Dict[str, np.ndarray]:
     """One query view in the renderer's que schema: {coords [1,rn,2],
     poses [1,3,4], Ks [1,3,3], depth_range [1,2], imgs [1,h,w,3]}.
     full_image=True emits the full pixel grid instead of rn random
     pixels."""
     pose, K = look_at_camera(rng, h, w)
-    rgb, _, _ = render_sphere_view(pose, K, h, w)
+    rgb, _, _ = render_spheres_view(pose, K, h, w, spheres)
     if full_image:
         xs, ys = np.meshgrid(np.arange(w), np.arange(h))
         coords = np.stack([xs, ys], -1).reshape(1, -1, 2)

@@ -45,10 +45,18 @@ def main():
                     help="probe_sample_num values to sweep")
     ap.add_argument("--probe-thresholds", default="0.001,0.005,0.02")
     ap.add_argument("--probe-dilates", default="0,1,2")
-    ap.add_argument("--weights", default=os.path.join(
-        TOOLS, "bench_weights.npz"))
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--scene", default="sphere",
+                    choices=["sphere", "blobs"],
+                    help="blobs: 5 spheres incl. a thin r=0.08 one "
+                         "(weights: tools/make_bench_weights.py "
+                         "--scene blobs)")
     ap.add_argument("--cpu", action="store_true")
     flags = ap.parse_args()
+    if flags.weights is None:
+        name = ("bench_weights.npz" if flags.scene == "sphere"
+                else f"bench_weights_{flags.scene}.npz")
+        flags.weights = os.path.join(TOOLS, name)
 
     import jax
     if flags.cpu:
@@ -62,7 +70,8 @@ def main():
     from neuray_tpu.models.renderer import (
         NeurayRenderer, RenderConfig, make_scene_encode_fn,
         make_ray_render_fn, render_frame_skip_empty)
-    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+    from neuray_tpu.data.synthetic import (
+        make_sphere_scene, make_query, make_blob_spheres, UNIT_SPHERE)
     from neuray_tpu.utils.params_io import load_params_npz
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -80,9 +89,11 @@ def main():
     params = load_params_npz(flags.weights)
 
     rng = np.random.RandomState(0)  # bench scene
-    ref = {k: jnp.asarray(v)
-           for k, v in make_sphere_scene(rng, 8, h, w).items()}
-    que_np = make_query(rng, h, w, rn=0, full_image=True)
+    spheres = (UNIT_SPHERE if flags.scene == "sphere"
+               else make_blob_spheres(np.random.RandomState(42)))
+    ref = {k: jnp.asarray(v) for k, v in
+           make_sphere_scene(rng, 8, h, w, spheres).items()}
+    que_np = make_query(rng, h, w, rn=0, full_image=True, spheres=spheres)
     gt = que_np["imgs"][0].reshape(-1, 3)
     coords_all = que_np["coords"]
     n_rays = coords_all.shape[1]

@@ -37,10 +37,18 @@ def main():
     ap.add_argument("--size", type=int, default=400)
     ap.add_argument("--rays", type=int, default=512)
     ap.add_argument("--lr", type=float, default=5e-4)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_weights.npz"))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--scene", default="sphere",
+                    choices=["sphere", "blobs"],
+                    help="blobs: 5 spheres incl. a thin r=0.08 one "
+                         "(probe-generality evidence)")
     ap.add_argument("--cpu", action="store_true")
     flags = ap.parse_args()
+    if flags.out is None:
+        name = ("bench_weights.npz" if flags.scene == "sphere"
+                else f"bench_weights_{flags.scene}.npz")
+        flags.out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), name)
 
     import jax
     if flags.cpu:
@@ -54,7 +62,8 @@ def main():
     import optax
 
     from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
-    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+    from neuray_tpu.data.synthetic import (
+        make_sphere_scene, make_query, make_blob_spheres, UNIT_SPHERE)
     from neuray_tpu.train.losses import render_loss
     from neuray_tpu.utils.params_io import save_params_npz
 
@@ -72,14 +81,16 @@ def main():
     renderer = NeurayRenderer(cfg)
 
     rng = np.random.RandomState(0)  # SAME scene poses as bench.py
-    ref = {k: jnp.asarray(v)
-           for k, v in make_sphere_scene(rng, 8, size, size).items()}
+    spheres = (UNIT_SPHERE if flags.scene == "sphere"
+               else make_blob_spheres(np.random.RandomState(42)))
+    ref = {k: jnp.asarray(v) for k, v in
+           make_sphere_scene(rng, 8, size, size, spheres).items()}
 
     n_que = 16
     ques = []
     for i in range(n_que):
         q = make_query(np.random.RandomState(100 + i), size, size, rn=0,
-                       full_image=False)
+                       full_image=False, spheres=spheres)
         ques.append({k: jnp.asarray(v) for k, v in q.items()
                      if k != "coords"})
 
