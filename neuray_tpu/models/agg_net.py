@@ -32,11 +32,13 @@ class DefaultAggregationNet(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, prj_dict, que_dir, pos_stride: int = 1):
+    def __call__(self, prj_dict, que_dir, pos_stride: int = 1, pos=None):
         """prj_dict fields [rfn,qn,rn,dn,*]: ray_feats, hit_prob, vis,
         rgb, dir, mask, img_feats; que_dir [qn,rn,dn,3].
         pos_stride: see IBRNetWithNeuRay — lets a reduced-sample probe
         pass reuse this net's params with faithful ray positions.
+        pos: optional per-ray fractional table positions [qn,rn,dn]
+        (probe-focused render; overrides pos_stride).
         Returns density [qn,rn,dn], colors [qn,rn,dn,3]."""
         dim = self.cfg.get("neuray_dim", 32)
         n_samples = self.cfg.get("sample_num", 64)
@@ -64,10 +66,12 @@ class DefaultAggregationNet(nn.Module):
         prob_embedding = prob_embedding.reshape(
             rfn, qn * rn, dn, -1).transpose(1, 2, 0, 3)
 
+        if pos is not None:
+            pos = pos.reshape(qn * rn, dn)
         outs = IBRNetWithNeuRay(dim, n_samples=n_samples, dtype=self.dtype,
                                 name="agg_impl")(
             prj_img_feats, prob_embedding, dir_diff, valid_mask,
-            pos_stride=pos_stride)
+            pos_stride=pos_stride, pos=pos)
         colors = outs[..., :3]
         density = outs[..., 3]
         return density.reshape(qn, rn, dn), colors.reshape(qn, rn, dn, 3)

@@ -28,6 +28,24 @@ def sinusoid_pos_encoding(d_hid: int, n_samples: int) -> np.ndarray:
     return table[None].astype(np.float32)
 
 
+def sinusoid_pos_at(d_hid: int, pos: jnp.ndarray) -> jnp.ndarray:
+    """Sinusoid positional encoding evaluated at FRACTIONAL positions.
+
+    Same formula as ``sinusoid_pos_encoding`` (so integer ``pos``
+    reproduces the table row-for-row), but computed on device from a
+    per-ray position array — pure VPU math, no gathers. Lets the
+    probe-focused render feed the ray attention the table position its
+    samples *geometrically* occupy in the full coarse grid, keeping a
+    narrowed / reduced-count pass in the trained position distribution.
+
+    pos: [..., dn] -> [..., dn, d_hid]
+    """
+    hid = jnp.arange(d_hid)
+    denom = jnp.power(10000.0, (2 * (hid // 2) / d_hid).astype(jnp.float32))
+    angle = pos[..., None] / denom
+    return jnp.where(hid % 2 == 0, jnp.sin(angle), jnp.cos(angle))
+
+
 class MultiHeadAttention(nn.Module):
     """Post-LN multi-head attention with residual (reference ibrnet.py:52)."""
     n_head: int
@@ -156,12 +174,18 @@ class IBRNetWithNeuRay(nn.Module):
 
     @nn.compact
     def __call__(self, rgb_feat, neuray_feat, ray_diff, mask,
-                 pos_stride: int = 1):
+                 pos_stride: int = 1, pos=None):
         """pos_stride: subsample the ray-attention positional table —
         a dn-sample call with pos_stride=s uses the positions a
         (dn*s)-sample call would give its every s-th sample, so a
         reduced-sample probe pass (renderer.probe_chunk) sees the same
-        absolute positional phase as the full coarse pass."""
+        absolute positional phase as the full coarse pass.
+
+        pos: optional explicit PER-RAY fractional table positions
+        [b, dn] (b = qn*rn). Overrides pos_stride; used by the
+        probe-focused render, whose per-ray narrowed sampling windows
+        put sample j at a ray-dependent position in the full coarse
+        grid."""
         num_views = rgb_feat.shape[2]
         dt = self.dtype
 
@@ -200,10 +224,14 @@ class IBRNetWithNeuRay(nn.Module):
         globalfeat = _Seq((64, 16), "elu", dt, name="geometry_fc")(globalfeat)
         num_valid_obs = jnp.sum(mask, axis=2)                # b,dn,1
 
-        pos_table = jnp.asarray(sinusoid_pos_encoding(
-            16, max(self.n_samples, globalfeat.shape[1] * pos_stride)))
-        pos_table = pos_table[:, ::pos_stride]
-        globalfeat = globalfeat + pos_table[:, :globalfeat.shape[1]]
+        if pos is not None:
+            globalfeat = globalfeat + sinusoid_pos_at(
+                16, pos).astype(globalfeat.dtype)
+        else:
+            pos_table = jnp.asarray(sinusoid_pos_encoding(
+                16, max(self.n_samples, globalfeat.shape[1] * pos_stride)))
+            pos_table = pos_table[:, ::pos_stride]
+            globalfeat = globalfeat + pos_table[:, :globalfeat.shape[1]]
         attn_mask = (num_valid_obs > 1).astype(globalfeat.dtype)  # b,dn,1
         globalfeat, _ = MultiHeadAttention(
             4, 16, 4, 4, dtype=dt, name="ray_attention")(

@@ -74,6 +74,18 @@ class RenderConfig:
     # this, surface detection only needs coarse coverage of the range.
     probe_sample_num: int = 16
 
+    # Probe-FOCUSED render (render_frame_probe_focus): the probe also
+    # returns each kept ray's hit-mass interval, and the coarse+fine
+    # passes run only inside that narrowed window with reduced sample
+    # counts at >= the full render's sample density. focus_margin probe
+    # bins are added on each side of the [focus_quantile, 1-q] mass
+    # interval; rays with probe mass below ~1e-3 (e.g. dilated-in
+    # silhouette rays) fall back to the full range.
+    focus_sample_num: int = 16
+    focus_fine_sample_num: int = 32
+    focus_margin: int = 1
+    focus_quantile: float = 0.005
+
     use_bf16: bool = False         # bf16 conv/agg compute on the MXU
     # "none" | "u8": quantize the fused gather map to uint8 rows
     # (403B < the 512B index-rate knee; rgb exact for 8-bit sources,
@@ -279,10 +291,10 @@ class NeurayRenderer(nn.Module):
             "ray_feats": rs(prj_ray_feats), "img_feats": rs(prj_img_feats),
         }
 
-    def _network_rendering(self, prj, que_dir, is_fine: bool):
+    def _network_rendering(self, prj, que_dir, is_fine: bool, pos=None):
         """(reference renderer.py:157-166)"""
         agg = self.fine_agg_net if is_fine else self.agg_net
-        density, colors = agg(prj, que_dir)
+        density, colors = agg(prj, que_dir, pos=pos)
         alpha = 1.0 - jnp.exp(-nn.relu(density))
         hit_prob = alpha_values2hit_prob(alpha)
         pixel_colors = composite_colors(hit_prob, colors)
@@ -336,8 +348,10 @@ class NeurayRenderer(nn.Module):
             expand(aw), False, que["depth_range"])
         return hit_prob
 
-    def _render_by_depth(self, que_depth, que, ref, is_train, is_fine):
-        """(reference renderer.py:168-203)"""
+    def _render_by_depth(self, que_depth, que, ref, is_train, is_fine,
+                         pos=None):
+        """(reference renderer.py:168-203). ``pos``: optional per-ray
+        ray-attention positions [qn,rn,dn] (probe-focused render)."""
         c = self.cfg
         que_dists = S.depth2inv_dists(que_depth, que["depth_range"])
         que_pts, que_dir = G.depth2points(
@@ -348,7 +362,7 @@ class NeurayRenderer(nn.Module):
             prj, ref["depth_range"], que_dists, is_fine)
 
         hit_prob_nr, colors_nr, pixel_colors_nr = self._network_rendering(
-            prj, que_dir, is_fine)
+            prj, que_dir, is_fine, pos)
         outputs = {"pixel_colors_nr": pixel_colors_nr,
                    "hit_prob_nr": hit_prob_nr}
 
@@ -441,6 +455,112 @@ class NeurayRenderer(nn.Module):
         alpha = 1.0 - jnp.exp(-nn.relu(density))
         hit_prob = alpha_values2hit_prob(alpha)
         return jnp.sum(hit_prob, -1)                          # qn,rn
+
+    def probe_chunk_focus(self, ref: Dict[str, jnp.ndarray],
+                          que: Dict[str, jnp.ndarray]):
+        """Emptiness probe that ALSO localizes each ray's hit mass.
+
+        Same network pass as probe_chunk, but besides the per-ray score
+        it returns a narrowed per-ray depth window [near', far'] — the
+        probe samples bracketing the [q, 1-q] quantiles of the ray's
+        aggregated hit mass, padded by ``focus_margin`` probe bins.
+        Rays with negligible probe mass (< 1e-3, e.g. empty or
+        dilated-in rays) keep the full scene range, so downstream
+        focused sampling degrades gracefully to strided full-range
+        sampling instead of collapsing onto a garbage interval.
+
+        Returns (score [qn,rn], near [qn,rn], far [qn,rn]).
+        """
+        c = self.cfg
+        qn, rn, _ = que["coords"].shape
+        que_depth, _ = S.sample_depth(
+            que["depth_range"], qn, rn, c.probe_sample_num, False)
+        que_dists = S.depth2inv_dists(que_depth, que["depth_range"])
+        que_pts, que_dir = G.depth2points(
+            que["coords"], que["poses"], que["Ks"], que_depth)
+        prj = self._project_and_gather(ref, que_pts)
+        prj = self._predict_proj_ray_prob(
+            prj, ref["depth_range"], que_dists, False)
+        stride = max(1, c.depth_sample_num // c.probe_sample_num)
+        density, _ = self.agg_net(prj, que_dir, pos_stride=stride)
+        alpha = 1.0 - jnp.exp(-nn.relu(density))
+        hit_prob = alpha_values2hit_prob(alpha)               # qn,rn,pn
+        hit_prob = hit_prob.astype(jnp.float32)
+        score = jnp.sum(hit_prob, -1)
+
+        pn = c.probe_sample_num
+        # inclusive prefix sum over the tiny pn axis (triangular matmul:
+        # jnp.cumsum is a pn-step sequential scan on TPU)
+        tri = (jnp.arange(pn)[:, None] <= jnp.arange(pn)[None, :]).astype(
+            jnp.float32)
+        cdf = jnp.matmul(hit_prob, tri,
+                         precision=jax.lax.Precision.HIGHEST)
+        frac = cdf / (score[..., None] + 1e-12)
+        q = c.focus_quantile
+        idx = jnp.arange(pn)
+        lo_idx = jnp.argmax(frac >= q, axis=-1)               # first >= q
+        hi_idx = jnp.argmax(frac >= 1.0 - q, axis=-1)
+        lo = jnp.clip(lo_idx - c.focus_margin, 0, pn - 1)
+        hi = jnp.clip(hi_idx + c.focus_margin, 0, pn - 1)
+        onehot = lambda i: (idx == i[..., None]).astype(jnp.float32)
+        near_f = jnp.sum(onehot(lo) * que_depth, -1)
+        far_f = jnp.sum(onehot(hi) * que_depth, -1)
+        near_full = jnp.broadcast_to(
+            que["depth_range"][:, 0:1], (qn, rn))
+        far_full = jnp.broadcast_to(
+            que["depth_range"][:, 1:2], (qn, rn))
+        confident = score > 1e-3
+        near_f = jnp.where(confident, near_f, near_full)
+        far_f = jnp.where(confident & (far_f > near_f), far_f, far_full)
+        return score, near_f, far_f
+
+    def render_chunk_focus(self, ref: Dict[str, jnp.ndarray],
+                           que: Dict[str, jnp.ndarray],
+                           near: jnp.ndarray, far: jnp.ndarray):
+        """Coarse+fine render of one chunk inside PER-RAY depth windows
+        (probe-focused eval path; no reference counterpart — the
+        reference renders every ray at the full [near, far] range).
+
+        The coarse pass runs ``focus_sample_num`` samples uniform in
+        inverse depth across [near_i, far_i]; a window at w of the full
+        inverse-depth range keeps full-render sample density whenever
+        focus_sample_num >= depth_sample_num * w. The ray attention
+        sees each sample's GEOMETRIC position in the full coarse grid
+        (fractional sinusoid, ibrnet.sinusoid_pos_at) so features stay
+        in the trained position distribution. The fine pass importance-
+        resamples ``focus_fine_sample_num`` depths from the focused
+        coarse CDF (rank-scaled positions — fine positions are rank-
+        semantic in training, the surface sits mid-table wherever its
+        depth is).
+        """
+        c = self.cfg
+        qn, rn, _ = que["coords"].shape
+        que_depth, _ = S.sample_depth_ranged(near, far, c.focus_sample_num)
+        dr = que["depth_range"]
+        inv_lo = (-1.0 / dr[:, 0])[:, None, None]
+        inv_hi = (-1.0 / dr[:, 1])[:, None, None]
+        t = (-1.0 / que_depth - inv_lo) / (inv_hi - inv_lo)
+        pos_c = t * (c.depth_sample_num - 1)
+        outputs = self._render_by_depth(
+            que_depth, que, ref, False, False, pos=pos_c)
+
+        if c.use_hierarchical_sampling:
+            fine_depth = S.sample_fine_depth(
+                que_depth, jax.lax.stop_gradient(outputs["hit_prob_nr"]),
+                dr, c.focus_fine_sample_num, False, None)
+            if c.fine_depth_use_all:
+                fine_depth = jnp.sort(
+                    jnp.concatenate([que_depth, fine_depth], -1), -1)
+            nf = fine_depth.shape[-1]
+            nf_full = (c.depth_sample_num + c.fine_depth_sample_num
+                       if c.fine_depth_use_all else c.fine_depth_sample_num)
+            pos_f = jnp.linspace(0.0, float(nf_full - 1), nf)
+            pos_f = jnp.broadcast_to(pos_f[None, None], (qn, rn, nf))
+            fine_out = self._render_by_depth(
+                fine_depth, que, ref, False, True, pos=pos_f)
+            for k, v in fine_out.items():
+                outputs[k + "_fine"] = v
+        return outputs
 
     def render_chunk_fine(self, ref: Dict[str, jnp.ndarray],
                           que: Dict[str, jnp.ndarray],
@@ -674,6 +794,162 @@ def make_probe_fn(renderer: NeurayRenderer):
     fn = jax.jit(impl)
     _RENDER_FN_CACHE[cache_key] = fn
     return fn
+
+
+def make_focus_probe_fn(renderer: NeurayRenderer):
+    """Jitted chunked focus-probe loop over an encoded ref:
+    (params, ref_c, que) -> (score, near, far), each [qn, rn]."""
+    cache_key = (renderer.cfg, "focus_probe")
+    if cache_key in _RENDER_FN_CACHE:
+        return _RENDER_FN_CACHE[cache_key]
+    c = renderer.cfg
+
+    def impl(params, ref_c, que):
+        chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)
+
+        def probe_one(coords_chunk):
+            que_c = dict(que)
+            que_c["coords"] = coords_chunk
+            return renderer.apply(params, ref_c, que_c,
+                                  method=NeurayRenderer.probe_chunk_focus)
+
+        outs = jax.lax.map(probe_one, chunks)  # 3 x [n_chunks, qn, chunk]
+        unchunk = lambda x: x.transpose(1, 0, 2).reshape(
+            x.shape[1], -1)[:, :rn]
+        return tuple(unchunk(x) for x in outs)
+
+    fn = jax.jit(impl)
+    _RENDER_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def make_focus_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
+    """Jitted chunked FOCUSED coarse+fine loop: (params, ref_c, que,
+    near, far) -> outputs, where near/far [qn, rn] are the per-ray
+    windows from make_focus_probe_fn."""
+    cache_key = (renderer.cfg, tuple(keep_keys), "focus")
+    if cache_key in _RENDER_FN_CACHE:
+        return _RENDER_FN_CACHE[cache_key]
+    c = renderer.cfg
+
+    def impl(params, ref_c, que, near, far):
+        chunks, rn = chunk_coords(que["coords"], c.ray_batch_num)
+        qn = que["coords"].shape[0]
+        n_chunks = chunks.shape[0]
+
+        def chunk_rows(x):  # [qn, rn] -> [n_chunks, qn, chunk]
+            pad = n_chunks * c.ray_batch_num - x.shape[1]
+            x = jnp.pad(x, ((0, 0), (0, pad)), mode="edge")
+            return x.reshape(qn, n_chunks, c.ray_batch_num).transpose(
+                1, 0, 2)
+
+        def render_one(args):
+            coords_chunk, near_chunk, far_chunk = args
+            que_c = dict(que)
+            que_c["coords"] = coords_chunk
+            out = renderer.apply(
+                params, ref_c, que_c, near_chunk, far_chunk,
+                method=NeurayRenderer.render_chunk_focus)
+            return {k: v for k, v in out.items() if k in keep_keys}
+
+        outs = jax.lax.map(
+            render_one, (chunks, chunk_rows(near), chunk_rows(far)))
+        return jax.tree.map(
+            lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                x.shape[1], -1, *x.shape[3:])[:, :rn], outs)
+
+    fn = jax.jit(impl)
+    _RENDER_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
+                             que, threshold: float = 0.005,
+                             bucket_chunks: int = 32,
+                             keep_base=("pixel_colors_nr",),
+                             image_hw=None, dilate: int = 0,
+                             mesh=None):
+    """THREE-phase eval render with FOCUSED sampling: the probe both
+    scores every ray (skip decision, as render_frame_probe_skip) and
+    narrows each kept ray's depth window; the kept rays then render
+    coarse+fine at focus_sample_num/focus_fine_sample_num samples
+    inside their windows. vs probe_skip the kept rays are no longer
+    bit-identical to the full render — they are sampled DENSER across
+    the surface interval at fewer taps, so quality is a measured
+    property (tools/check_skip_quality.py --focus), not an identity.
+
+    This is the mode that pays on fully-occupied (forward-facing)
+    scenes, where ray skipping finds nothing to skip but windows are
+    narrow: per-ray samples drop from depth+fine(+use_all) to
+    probe+focus+focus_fine(+use_all).
+    """
+    import numpy as np
+
+    c = renderer.cfg
+    assert c.use_hierarchical_sampling
+    keep_base = tuple(keep_base)
+    keep_keys = keep_base + tuple(k + "_fine" for k in keep_base)
+    if mesh is not None and mesh.devices.size > 1:
+        from neuray_tpu.parallel.sharding import (
+            make_sharded_focus_probe_fn, make_sharded_focus_render_fn)
+        probe_fn = make_sharded_focus_probe_fn(renderer, mesh)
+        rays_fn = make_sharded_focus_render_fn(
+            renderer, mesh, keep_keys=keep_keys)
+    else:
+        probe_fn = make_focus_probe_fn(renderer)
+        rays_fn = make_focus_render_fn(renderer, keep_keys=keep_keys)
+
+    score_d, near_d, far_d = probe_fn(params, ref_c, que)
+    score = np.asarray(jax.device_get(score_d))
+
+    qn, rn, _ = que["coords"].shape
+    assert qn == 1, "skip-empty driver is per-query-view"
+    keep_mask = score[0] > threshold
+    if dilate > 0 and image_hw is not None:
+        h, w = image_hw
+        m = keep_mask.reshape(h, w)
+        for _ in range(dilate):
+            g = m.copy()
+            g[1:] |= m[:-1]
+            g[:-1] |= m[1:]
+            g[:, 1:] |= m[:, :-1]
+            g[:, :-1] |= m[:, 1:]
+            g[1:, 1:] |= m[:-1, :-1]
+            g[1:, :-1] |= m[:-1, 1:]
+            g[:-1, 1:] |= m[1:, :-1]
+            g[:-1, :-1] |= m[1:, 1:]
+            m = g
+        keep_mask = m.reshape(-1)
+    keep = np.nonzero(keep_mask)[0]
+    kept_out = None
+    if keep.size:
+        chunk = c.ray_batch_num
+        ceil = lambda a, b: -(-a // b)
+        total_chunks = ceil(rn, chunk)
+        bucket = min(bucket_chunks, total_chunks)
+        n_chunks = min(ceil(ceil(keep.size, chunk), bucket) * bucket,
+                       total_chunks)
+        k_pad = n_chunks * chunk
+        keep_padded = np.pad(keep, (0, k_pad - keep.size), mode="edge") \
+            if k_pad > keep.size else keep[:k_pad]
+        kidx = jnp.asarray(keep_padded)
+        que_k = dict(que)
+        que_k["coords"] = jnp.take(que["coords"], kidx, axis=1)
+        near_k = jnp.take(near_d, kidx, axis=1)
+        far_k = jnp.take(far_d, kidx, axis=1)
+        kept_out = rays_fn(params, ref_c, que_k, near_k, far_k)
+    out = {"kept_rays": int(keep.size)}
+    for k in keep_base:
+        for suffix in ("", "_fine"):
+            if kept_out is not None:
+                vals = np.asarray(
+                    jax.device_get(kept_out[k + suffix]), np.float32)
+                full = np.zeros((qn, rn) + vals.shape[2:], np.float32)
+                full[0, keep] = vals[0, :keep.size]
+            else:
+                full = np.zeros((qn, rn, 3), np.float32)
+            out[k + suffix] = full
+    return out
 
 
 def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,

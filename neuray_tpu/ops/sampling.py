@@ -60,6 +60,31 @@ def sample_depth(depth_range: jnp.ndarray, qn: int, rn: int, dn: int,
     return que_depth, que_dists
 
 
+def sample_depth_ranged(near: jnp.ndarray, far: jnp.ndarray, dn: int):
+    """Coarse depth samples with PER-RAY near/far, uniform in inverse
+    depth, endpoints pinned — the per-ray generalization of
+    ``sample_depth`` (deterministic / eval only). With constant
+    near/far rows it reproduces ``sample_depth`` exactly (same
+    tick arithmetic).
+
+    Used by the probe-focused render (renderer.render_chunk_focus):
+    the emptiness probe narrows each kept ray's sampling window to the
+    interval holding its hit mass, so a reduced sample count keeps (or
+    raises) the effective sample density of the full render.
+
+    near, far: [qn, rn] -> (que_depth [qn, rn, dn], que_dists [qn, rn, dn])
+    """
+    interval = (1.0 / far - 1.0 / near) / (dn - 1)                 # qn,rn
+    val = jnp.arange(1, dn - 1, dtype=jnp.float32)[None, None, :]  # 1,1,dn-2
+    ticks = interval[..., None] * val
+    diff = (1.0 / far - 1.0 / near)[..., None]                     # qn,rn,1
+    zeros = jnp.zeros_like(diff)
+    ticks = jnp.concatenate([zeros, ticks, diff], axis=-1)
+    que_depth = 1.0 / (1.0 / near[..., None] + ticks)
+    que_dists = depth2dists(que_depth)
+    return que_depth, que_dists
+
+
 def sample_fine_depth(depth: jnp.ndarray, hit_prob: jnp.ndarray,
                       depth_range: jnp.ndarray, fdn: int,
                       random_sample: bool, rng: jax.Array | None = None,

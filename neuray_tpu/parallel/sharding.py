@@ -172,6 +172,120 @@ def make_sharded_probe_fn(renderer: NeurayRenderer, mesh: Mesh):
     return fn
 
 
+def make_sharded_focus_probe_fn(renderer: NeurayRenderer, mesh: Mesh):
+    """Sharded renderer.probe_chunk_focus: (params, ref_c, que) ->
+    (score, near, far), each [qn, rn] — the multi-chip leg of the
+    probe-FOCUSED render (renderer.render_frame_probe_focus(mesh=...));
+    scene replicated, ray axis sharded, no collectives."""
+    key = (renderer.cfg, mesh.shape_tuple, "focus_probe")
+    if key in _SHARDED_RENDER_CACHE:
+        return _SHARDED_RENDER_CACHE[key]
+
+    c = renderer.cfg
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def impl(params, ref_c, que):
+        qn, rn, _ = que["coords"].shape
+        per_dev = -(-rn // (n_dev * c.ray_batch_num)) * c.ray_batch_num
+        pad = n_dev * per_dev - rn
+        coords = jnp.pad(que["coords"], ((0, 0), (0, pad), (0, 0)),
+                         mode="edge")
+        coords = coords.reshape(qn, n_dev, per_dev, 2).transpose(1, 0, 2, 3)
+        que_base = {k: v for k, v in que.items() if k != "coords"}
+
+        def probe_shard(coords_shard):
+            chunks, _ = chunk_coords(coords_shard[0], c.ray_batch_num)
+
+            def probe_one(cc):
+                q = dict(que_base)
+                q["coords"] = cc
+                return renderer.apply(
+                    params, ref_c, q,
+                    method=NeurayRenderer.probe_chunk_focus)
+
+            outs = jax.lax.map(probe_one, chunks)  # 3x n_chunks,qn,chunk
+            return tuple(
+                x.transpose(1, 0, 2).reshape(x.shape[1], -1)[None]
+                for x in outs)
+
+        outs = jax.shard_map(
+            probe_shard, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis),
+            check_vma=False)(coords)            # 3 x [n_dev, qn, per_dev]
+        return tuple(
+            x.transpose(1, 0, 2).reshape(qn, -1)[:, :rn] for x in outs)
+
+    fn = jax.jit(impl)
+    _SHARDED_RENDER_CACHE[key] = fn
+    return fn
+
+
+def make_sharded_focus_render_fn(renderer: NeurayRenderer, mesh: Mesh,
+                                 keep_keys=("pixel_colors_nr",
+                                            "pixel_colors_nr_fine")):
+    """Sharded renderer.render_chunk_focus over a pre-encoded scene:
+    (params, ref_c, que, near, far) -> outputs [qn, rn, ...]."""
+    key = (renderer.cfg, tuple(keep_keys), mesh.shape_tuple, "focus")
+    if key in _SHARDED_RENDER_CACHE:
+        return _SHARDED_RENDER_CACHE[key]
+
+    c = renderer.cfg
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def impl(params, ref_c, que, near, far):
+        qn, rn, _ = que["coords"].shape
+        per_dev = -(-rn // (n_dev * c.ray_batch_num)) * c.ray_batch_num
+        pad = n_dev * per_dev - rn
+        coords = jnp.pad(que["coords"], ((0, 0), (0, pad), (0, 0)),
+                         mode="edge")
+        coords = coords.reshape(qn, n_dev, per_dev, 2).transpose(1, 0, 2, 3)
+
+        def shard_rows(x):  # [qn, rn] -> [n_dev, qn, per_dev]
+            x = jnp.pad(x, ((0, 0), (0, pad)), mode="edge")
+            return x.reshape(qn, n_dev, per_dev).transpose(1, 0, 2)
+
+        que_base = {k: v for k, v in que.items() if k != "coords"}
+
+        def render_shard(coords_shard, near_shard, far_shard):
+            chunks, _ = chunk_coords(coords_shard[0], c.ray_batch_num)
+            n_chunks = chunks.shape[0]
+
+            def chunk_rows(x):  # [1, qn, per_dev] -> [n_chunks, qn, chunk]
+                return x[0].reshape(
+                    qn, n_chunks, c.ray_batch_num).transpose(1, 0, 2)
+
+            def render_one(args):
+                cc, nr, fr = args
+                q = dict(que_base)
+                q["coords"] = cc
+                out = renderer.apply(
+                    params, ref_c, q, nr, fr,
+                    method=NeurayRenderer.render_chunk_focus)
+                return {k: v for k, v in out.items() if k in keep_keys}
+
+            outs = jax.lax.map(
+                render_one,
+                (chunks, chunk_rows(near_shard), chunk_rows(far_shard)))
+            return jax.tree.map(
+                lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                    x.shape[1], -1, *x.shape[3:])[None], outs)
+
+        outs = jax.shard_map(
+            render_shard, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)), out_specs=P(axis),
+            check_vma=False)(coords, shard_rows(near), shard_rows(far))
+        outs = jax.tree.map(
+            lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                x.shape[1], -1, *x.shape[3:])[:, :rn], outs)
+        return outs
+
+    fn = jax.jit(impl)
+    _SHARDED_RENDER_CACHE[key] = fn
+    return fn
+
+
 # ------------------------- DP training step -------------------------
 
 

@@ -145,3 +145,38 @@ def test_sharded_probe_skip_matches_unsharded(setup):
     np.testing.assert_allclose(
         out_shard["pixel_colors_nr_fine"],
         out_plain["pixel_colors_nr_fine"], rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_focus_matches_unsharded(setup):
+    """The probe-FOCUSED multi-chip legs: sharded focus probe returns
+    the same (score, near, far) as the plain one, and the sharded
+    focused render matches the plain focused render on the same
+    windows."""
+    from neuray_tpu.models.renderer import (
+        make_scene_encode_fn, make_focus_probe_fn, make_focus_render_fn)
+    from neuray_tpu.parallel.sharding import (
+        make_sharded_focus_probe_fn, make_sharded_focus_render_fn)
+    renderer, params, ref, que = setup
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(5)
+    que_np = make_query(rng, 32, 32, rn=0, full_image=True)
+    que_full = {k: jnp.asarray(v) for k, v in que_np.items()
+                if k != "imgs"}
+
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+    plain = make_focus_probe_fn(renderer)(params, ref_c, que_full)
+    shard = make_sharded_focus_probe_fn(renderer, mesh)(
+        params, ref_c, que_full)
+    for p, s in zip(plain, shard):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(p),
+                                   rtol=1e-4, atol=1e-5)
+
+    keep = ("pixel_colors_nr", "pixel_colors_nr_fine")
+    _, near, far = plain
+    out_p = make_focus_render_fn(renderer, keep_keys=keep)(
+        params, ref_c, que_full, near, far)
+    out_s = make_sharded_focus_render_fn(renderer, mesh, keep_keys=keep)(
+        params, ref_c, que_full, near, far)
+    np.testing.assert_allclose(
+        np.asarray(out_s["pixel_colors_nr_fine"]),
+        np.asarray(out_p["pixel_colors_nr_fine"]), rtol=1e-4, atol=1e-5)

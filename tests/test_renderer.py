@@ -311,3 +311,84 @@ def test_probe_skip_render_matches_full(rng):
     keep_d = np.nonzero(exp.reshape(-1))[0]
     np.testing.assert_array_equal(
         out_dil["pixel_colors_nr_fine"][0, keep_d], full_fine[0, keep_d])
+
+
+def test_probe_focus_render(rng):
+    """The probe-FOCUSED driver (render_frame_probe_focus):
+    (a) analytic fractional position encoding == the table at integers,
+    (b) with full-range windows and focus sample counts equal to the
+        full render's, the focused pass reproduces the full render
+        (positions become the integer grid),
+    (c) probe intervals are valid/within-range with full-range fallback
+        on negligible-mass rays,
+    (d) the driver's kept rays bit-match a direct focus-render call on
+        the same windows; skipped rays are zero."""
+    import jax
+    from neuray_tpu.models.renderer import (
+        NeurayRenderer, RenderConfig, render_full, make_scene_encode_fn,
+        make_focus_probe_fn, make_focus_render_fn,
+        render_frame_probe_focus)
+    from neuray_tpu.models.ibrnet import (
+        sinusoid_pos_encoding, sinusoid_pos_at)
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+
+    tab = sinusoid_pos_encoding(16, 64)[0]
+    at = np.asarray(sinusoid_pos_at(
+        16, jnp.arange(64, dtype=jnp.float32)))
+    np.testing.assert_allclose(at, tab, atol=2e-6)
+
+    r = np.random.RandomState(7)
+    h = w = 32
+    ref = jax.tree.map(jnp.asarray, make_sphere_scene(r, 3, h, w))
+    que_np = make_query(r, h, w, rn=0, full_image=True)
+    que = {k: jnp.asarray(v) for k, v in que_np.items() if k != "imgs"}
+
+    cfg = RenderConfig(use_hierarchical_sampling=True, depth_sample_num=8,
+                       fine_depth_sample_num=8, ray_batch_num=64,
+                       probe_sample_num=4, use_vis=False,
+                       fine_use_vis=False, ray_mask_point_num=4,
+                       focus_sample_num=8, focus_fine_sample_num=8)
+    renderer = NeurayRenderer(cfg)
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ref, dict(que, coords=que["coords"][:, :64]), False)
+
+    keep = ("pixel_colors_nr", "pixel_colors_nr_fine")
+    full = render_full(renderer, params, ref, que, keep_keys=keep)
+    full_fine = np.asarray(full["pixel_colors_nr_fine"], np.float32)
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+
+    qn, rn, _ = que["coords"].shape
+    near_full = jnp.full((qn, rn), 2.5)
+    far_full = jnp.full((qn, rn), 5.5)
+    focus_fn = make_focus_render_fn(renderer, keep_keys=keep)
+    out = focus_fn(params, ref_c, que, near_full, far_full)
+    np.testing.assert_allclose(
+        np.asarray(out["pixel_colors_nr_fine"]), full_fine, atol=1e-4)
+
+    score, nr_, fr_ = make_focus_probe_fn(renderer)(params, ref_c, que)
+    score, nr_, fr_ = map(np.asarray, (score, nr_, fr_))
+    assert (nr_ < fr_).all()
+    assert (nr_ >= 2.5 - 1e-5).all() and (fr_ <= 5.5 + 1e-5).all()
+    lowmass = score[0] <= 1e-3
+    assert lowmass.any()
+    np.testing.assert_allclose(nr_[0][lowmass], 2.5, atol=1e-6)
+    np.testing.assert_allclose(fr_[0][lowmass], 5.5, atol=1e-6)
+
+    th = float(np.median(score))
+    out_d = render_frame_probe_focus(renderer, params, ref_c, que,
+                                     threshold=th)
+    kept = np.nonzero(score[0] > th)[0]
+    assert out_d["kept_rays"] == kept.size
+    skipped = np.setdiff1d(np.arange(rn), kept)
+    assert (out_d["pixel_colors_nr_fine"][0, skipped] == 0).all()
+    # driver == direct focus render on the kept windows
+    que_k = dict(que, coords=jnp.take(que["coords"], jnp.asarray(kept), 1))
+    direct = focus_fn(params, ref_c, que_k,
+                      jnp.take(jnp.asarray(nr_), jnp.asarray(kept), 1),
+                      jnp.take(jnp.asarray(fr_), jnp.asarray(kept), 1))
+    np.testing.assert_allclose(
+        out_d["pixel_colors_nr_fine"][0, kept],
+        np.asarray(direct["pixel_colors_nr_fine"], np.float32)[
+            0, :kept.size], atol=1e-6)
+    assert np.isfinite(out_d["pixel_colors_nr_fine"]).all()

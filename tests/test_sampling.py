@@ -103,3 +103,33 @@ def test_depth2inv_dists(rng):
     dists = np.asarray(S.depth2inv_dists(depth, jnp.asarray(depth_range)))
     # uniform-in-inverse sampling => constant normalized interval 1/(dn-1)
     np.testing.assert_allclose(dists[..., :-1], 1.0 / (dn - 1), rtol=1e-4)
+
+
+def test_sample_depth_ranged_matches_constant(rng):
+    """Per-ray ranged sampler with constant rows == sample_depth
+    bitwise (same tick arithmetic) — the probe-focused render's
+    full-range fallback degrades exactly to the global sampler."""
+    dr = jnp.asarray([[2.0, 6.0]], jnp.float32)
+    d0, s0 = S.sample_depth(dr, 1, 16, 8, False)
+    near = jnp.full((1, 16), 2.0)
+    far = jnp.full((1, 16), 6.0)
+    d1, s1 = S.sample_depth_ranged(near, far, 8)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_sample_depth_ranged_per_ray(rng):
+    """Varying per-ray windows: endpoints pinned, monotone, uniform in
+    inverse depth within each ray's own window."""
+    near = jnp.asarray(2.0 + rng.rand(2, 8).astype(np.float32))
+    far = near + 1.0 + jnp.asarray(2 * rng.rand(2, 8).astype(np.float32))
+    dn = 9
+    d, _ = S.sample_depth_ranged(near, far, dn)
+    d = np.asarray(d)
+    np.testing.assert_allclose(d[..., 0], np.asarray(near), rtol=1e-5)
+    np.testing.assert_allclose(d[..., -1], np.asarray(far), rtol=1e-5)
+    assert (np.diff(d, axis=-1) > 0).all()
+    inv = 1.0 / d
+    steps = np.diff(inv, axis=-1)
+    np.testing.assert_allclose(
+        steps, np.broadcast_to(steps[..., :1], steps.shape), rtol=2e-3)
