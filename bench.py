@@ -73,7 +73,7 @@ def main():
     from neuray_tpu.models.renderer import (
         NeurayRenderer, RenderConfig, make_scene_encode_fn,
         make_ray_render_fn, render_frame_skip_empty,
-        render_frame_probe_skip)
+        render_frame_probe_skip, render_frame_probe_focus)
     from neuray_tpu.data.synthetic import make_sphere_scene, make_query
     from neuray_tpu.utils.params_io import load_params_npz
 
@@ -84,14 +84,25 @@ def main():
         else (64, 64, 4, 256, 16, 1024))
 
     quant = os.environ.get("BENCH_QUANT", "u8" if on_tpu else "none")
-    # 8-sample probe measured best on BOTH axes at the bench shape:
-    # 90.9k rays/s and PSNR-vs-GT 28.0 (full render: 26.09) at
-    # dilate=1 — see tools/check_skip_quality.py --probe
-    probe_sn = int(os.environ.get("BENCH_PROBE_SN", 8 if on_tpu else 8))
+    # Default mode: probe-FOCUSED render at 16 probe samples,
+    # 16 coarse + 32 fine samples inside each kept ray's probe-narrowed
+    # depth window. One setting, measured best on BOTH sweep scenes
+    # (tools/check_skip_quality.py --focus): sphere 142k rays/s
+    # amortized at PSNR-vs-GT 26.8 (full render: 26.09), multi-blob
+    # 224k at 34.18 (full: 33.37) — no per-scene probe tuning.
+    # BENCH_SKIP_MODE=probe restores the exact-kept-ray skip
+    # (psn 8, 90.9k, GT 28.0 on the sphere), =two_phase the exact gate.
+    skip_mode = os.environ.get("BENCH_SKIP_MODE", "focus")
+    default_psn = 16 if skip_mode == "focus" else 8
+    probe_sn = int(os.environ.get("BENCH_PROBE_SN", default_psn))
     cfg = RenderConfig(
         use_hierarchical_sampling=True, depth_sample_num=dn,
         fine_depth_sample_num=dn, ray_batch_num=chunk,
         probe_sample_num=probe_sn,
+        focus_sample_num=int(os.environ.get("BENCH_FOCUS_SN",
+                                            16 if on_tpu else 8)),
+        focus_fine_sample_num=int(os.environ.get("BENCH_FOCUS_FSN",
+                                                 32 if on_tpu else 8)),
         use_vis=False, fine_use_vis=False, use_bf16=on_tpu,
         gather_quant=quant)
     renderer = NeurayRenderer(cfg)
@@ -122,10 +133,9 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "tools",
         "bench_weights.npz")
     n_dev = len(jax.devices())
-    skip_mode = os.environ.get("BENCH_SKIP_MODE", "probe")
     use_skip = (os.path.exists(weights_path)
                 and os.environ.get("BENCH_SKIP", "1") != "0"
-                and (n_dev == 1 or skip_mode == "probe"))
+                and (n_dev == 1 or skip_mode in ("probe", "focus")))
     if os.path.exists(weights_path):
         params = load_params_npz(weights_path)
     else:
@@ -203,6 +213,11 @@ def main():
 
         def render_frame_skip():
             ref_c = encode_fn(params, ref)
+            if mode == "focus":
+                return render_frame_probe_focus(
+                    renderer, params, ref_c, que_all,
+                    threshold=threshold, image_hw=(h, w), dilate=dilate,
+                    mesh=skip_mesh)
             if mode == "probe":
                 return render_frame_probe_skip(
                     renderer, params, ref_c, que_all,
@@ -250,9 +265,12 @@ def main():
         skip_stats["encode_s"] = round(encode_s, 2)
         skip_stats["amortized_rays_per_sec"] = round(
             n_rays / max(dt - encode_s, 1e-6), 1)
-        if mode == "probe":
+        if mode in ("probe", "focus"):
             skip_stats["probe_dilate"] = dilate
             skip_stats["probe_sample_num"] = probe_sn
+        if mode == "focus":
+            skip_stats["focus_samples"] = (
+                f"{cfg.focus_sample_num}:{cfg.focus_fine_sample_num}")
 
     baseline, baseline_kind, raw_cpu, mult = _baseline_rays_per_sec()
     result = {

@@ -366,7 +366,8 @@ def render_video_ft(database_name, cfg_fn, pose_type, pose_fn,
                 and ft.render_cfg.use_hierarchical_sampling)
     if use_skip:
         from neuray_tpu.models.renderer import (
-            render_frame_skip_empty, render_frame_probe_skip)
+            render_frame_skip_empty, render_frame_probe_skip,
+            render_frame_probe_focus, render_frame_probe_auto)
         encode_fn = make_ft_encode_fn(ft)
     else:
         render_fn = make_ft_render_fn(ft)
@@ -397,17 +398,29 @@ def render_video_ft(database_name, cfg_fn, pose_type, pose_fn,
                "depth_range": jnp.asarray(dr[None])}
         if use_skip:
             ref_c = encode_fn(params["net"], ref)
-            if cfg.get("skip_mode", "two_phase") == "probe":
+            skip_mode = cfg.get("skip_mode", "two_phase")
+            skip_th = cfg.get("skip_empty_threshold", 0.05)
+            if skip_mode in ("auto", "auto_focus"):
+                out = render_frame_probe_auto(
+                    ft.renderer, params["net"], ref_c, que,
+                    threshold=skip_th, keep_base=("pixel_colors_nr",),
+                    image_hw=(h, w), dilate=cfg.get("probe_dilate", 1),
+                    focus=skip_mode == "auto_focus",
+                    tol=cfg.get("skip_auto_tol", 0.02))
+            elif skip_mode == "probe_focus":
+                out = render_frame_probe_focus(
+                    ft.renderer, params["net"], ref_c, que,
+                    threshold=skip_th, keep_base=("pixel_colors_nr",),
+                    image_hw=(h, w), dilate=cfg.get("probe_dilate", 1))
+            elif skip_mode == "probe":
                 out = render_frame_probe_skip(
                     ft.renderer, params["net"], ref_c, que,
-                    threshold=cfg.get("skip_empty_threshold", 0.05),
-                    keep_base=("pixel_colors_nr",), image_hw=(h, w),
-                    dilate=cfg.get("probe_dilate", 1))
+                    threshold=skip_th, keep_base=("pixel_colors_nr",),
+                    image_hw=(h, w), dilate=cfg.get("probe_dilate", 1))
             else:
                 out = render_frame_skip_empty(
                     ft.renderer, params["net"], ref_c, que,
-                    threshold=cfg.get("skip_empty_threshold", 0.05),
-                    keep_base=("pixel_colors_nr",))
+                    threshold=skip_th, keep_base=("pixel_colors_nr",))
         else:
             out = render_fn(params["net"], ref, que)
         for suffix in ("nr", "nr_fine"):

@@ -863,12 +863,31 @@ def make_focus_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):
     return fn
 
 
+def _dilate_keep_mask(keep_mask, image_hw, dilate: int):
+    """Host-side iterated 8-neighbour (3x3 max) dilation of a row-major
+    full-image keep mask. keep_mask [rn] bool -> [rn] bool."""
+    h, w = image_hw
+    m = keep_mask.reshape(h, w)
+    for _ in range(dilate):
+        g = m.copy()
+        g[1:] |= m[:-1]
+        g[:-1] |= m[1:]
+        g[:, 1:] |= m[:, :-1]
+        g[:, :-1] |= m[:, 1:]
+        g[1:, 1:] |= m[:-1, :-1]
+        g[1:, :-1] |= m[:-1, 1:]
+        g[:-1, 1:] |= m[1:, :-1]
+        g[:-1, :-1] |= m[1:, 1:]
+        m = g
+    return m.reshape(-1)
+
+
 def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
                              que, threshold: float = 0.005,
                              bucket_chunks: int = 32,
                              keep_base=("pixel_colors_nr",),
                              image_hw=None, dilate: int = 0,
-                             mesh=None):
+                             mesh=None, probe_out=None):
     """THREE-phase eval render with FOCUSED sampling: the probe both
     scores every ray (skip decision, as render_frame_probe_skip) and
     narrows each kept ray's depth window; the kept rays then render
@@ -882,6 +901,10 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
     scenes, where ray skipping finds nothing to skip but windows are
     narrow: per-ray samples drop from depth+fine(+use_all) to
     probe+focus+focus_fine(+use_all).
+
+    probe_out: optional precomputed (score_d, near_d, far_d) from
+    make_focus_probe_fn — the self-validating driver
+    (render_frame_probe_auto) probes once and reuses the result.
     """
     import numpy as np
 
@@ -899,27 +922,15 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
         probe_fn = make_focus_probe_fn(renderer)
         rays_fn = make_focus_render_fn(renderer, keep_keys=keep_keys)
 
-    score_d, near_d, far_d = probe_fn(params, ref_c, que)
+    score_d, near_d, far_d = (probe_out if probe_out is not None
+                              else probe_fn(params, ref_c, que))
     score = np.asarray(jax.device_get(score_d))
 
     qn, rn, _ = que["coords"].shape
     assert qn == 1, "skip-empty driver is per-query-view"
     keep_mask = score[0] > threshold
     if dilate > 0 and image_hw is not None:
-        h, w = image_hw
-        m = keep_mask.reshape(h, w)
-        for _ in range(dilate):
-            g = m.copy()
-            g[1:] |= m[:-1]
-            g[:-1] |= m[1:]
-            g[:, 1:] |= m[:, :-1]
-            g[:, :-1] |= m[:, 1:]
-            g[1:, 1:] |= m[:-1, :-1]
-            g[1:, :-1] |= m[:-1, 1:]
-            g[:-1, 1:] |= m[1:, :-1]
-            g[:-1, :-1] |= m[1:, 1:]
-            m = g
-        keep_mask = m.reshape(-1)
+        keep_mask = _dilate_keep_mask(keep_mask, image_hw, dilate)
     keep = np.nonzero(keep_mask)[0]
     kept_out = None
     if keep.size:
@@ -957,7 +968,7 @@ def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
                             bucket_chunks: int = 32,
                             keep_base=("pixel_colors_nr",),
                             image_hw=None, dilate: int = 0,
-                            mesh=None):
+                            mesh=None, probe_out=None):
     """THREE-phase eval render: a cheap probe scores every ray, then
     the full coarse+fine program runs ONLY on rays the probe kept;
     skipped rays output the empty-ray background (zeros — compositing
@@ -1002,26 +1013,15 @@ def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
         probe_fn = make_probe_fn(renderer)
         rays_fn = make_ray_render_fn(renderer, keep_keys=keep_keys)
 
-    score = np.asarray(jax.device_get(probe_fn(params, ref_c, que)))
+    score = np.asarray(jax.device_get(
+        probe_out if probe_out is not None
+        else probe_fn(params, ref_c, que)))
 
     qn, rn, _ = que["coords"].shape
     assert qn == 1, "skip-empty driver is per-query-view"
     keep_mask = score[0] > threshold
     if dilate > 0 and image_hw is not None:
-        h, w = image_hw
-        m = keep_mask.reshape(h, w)
-        for _ in range(dilate):
-            g = m.copy()
-            g[1:] |= m[:-1]
-            g[:-1] |= m[1:]
-            g[:, 1:] |= m[:, :-1]
-            g[:, :-1] |= m[:, 1:]
-            g[1:, 1:] |= m[:-1, :-1]
-            g[1:, :-1] |= m[:-1, 1:]
-            g[:-1, 1:] |= m[1:, :-1]
-            g[:-1, :-1] |= m[1:, 1:]
-            m = g
-        keep_mask = m.reshape(-1)
+        keep_mask = _dilate_keep_mask(keep_mask, image_hw, dilate)
     keep = np.nonzero(keep_mask)[0]
     kept_out = None
     if keep.size:
@@ -1126,6 +1126,115 @@ def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
         out[k] = base
         out[k + "_fine"] = merged
     return out
+
+
+def estimate_false_skip(renderer: NeurayRenderer, params, ref_c, que,
+                        skip_idx, threshold: float,
+                        sample_rays: int = 2048, seed: int = 0):
+    """Audit the probe's skip decision: run the EXACT gate (the full
+    depth_sample_num coarse pass, the same score the two-phase driver
+    thresholds) on a random sample of the rays the probe skipped, and
+    return the fraction the exact gate would have KEPT.
+
+    This is the probe's measurable failure mode — a reduced-sample
+    probe stepping over thin structures (measured: the 8-sample probe
+    on the multi-blob scene, docs/ARCHITECTURE.md). Cost: ~sample_rays
+    rays of coarse-only work (~0.3% of a frame at the bench shape).
+    """
+    import numpy as np
+
+    if skip_idx.size == 0:
+        return 0.0
+    rs = np.random.RandomState(seed)
+    pick = (skip_idx if skip_idx.size <= sample_rays
+            else rs.choice(skip_idx, sample_rays, replace=False))
+    chunk = renderer.cfg.ray_batch_num
+    n = -(-pick.size // chunk) * chunk
+    pick_p = np.pad(pick, (0, n - pick.size), mode="edge")
+    que_s = dict(que)
+    que_s["coords"] = jnp.take(que["coords"], jnp.asarray(pick_p), axis=1)
+    coarse_fn = make_coarse_render_fn(renderer, keep_keys=("hit_prob_nr",))
+    hp = np.asarray(jax.device_get(
+        coarse_fn(params, ref_c, que_s)["hit_prob_nr"]))
+    exact_score = hp[0, :pick.size].sum(-1)
+    return float((exact_score > threshold).mean())
+
+
+def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
+                            que, threshold: float = 0.005,
+                            bucket_chunks: int = 32,
+                            keep_base=("pixel_colors_nr",),
+                            image_hw=None, dilate: int = 1,
+                            focus: bool = False, mesh=None,
+                            tol: float = 0.02,
+                            max_probe_sample_num: int = 32,
+                            validate_rays: int = 2048, seed: int = 0):
+    """SELF-VALIDATING probe-skip/focus render — removes the
+    scene-tuned probe_sample_num knob.
+
+    The reduced-sample probe's only failure mode is skipping rays the
+    exact gate would keep (thin silhouettes between probe samples).
+    This driver probes, AUDITS a random sample of the skipped rays
+    against the exact full-sample coarse score (estimate_false_skip),
+    and:
+      - accepts the probe if the measured false-skip rate <= tol,
+      - otherwise doubles probe_sample_num (recompiled probe variant;
+        the encoded scene is reused) and re-audits,
+      - past max_probe_sample_num, falls back to the exact two-phase
+        driver (render_frame_skip_empty), whose gate cannot miss.
+
+    Measured escalation behavior (tools/check_skip_quality.py scenes):
+    the single-sphere scene validates at 8 probe samples; the
+    multi-blob scene with a thin r=0.08 sphere fails the audit at 8
+    (~5% false-skip) and validates at 16 — matching the hand-tuned
+    per-scene settings in docs/ARCHITECTURE.md.
+
+    Returns the frame dict plus: probe_sample_num (accepted value),
+    false_skip_rate (last audit), fallback ("two_phase" or None).
+    """
+    import numpy as np
+
+    c = renderer.cfg
+    psn = c.probe_sample_num
+    info = {"fallback": None}
+    while True:
+        r = (renderer if psn == c.probe_sample_num
+             else NeurayRenderer(dataclasses.replace(
+                 c, probe_sample_num=psn)))
+        if focus:
+            probe_fn = make_focus_probe_fn(r)
+            probe_out = probe_fn(params, ref_c, que)
+            score_d = probe_out[0]
+        else:
+            probe_fn = make_probe_fn(r)
+            probe_out = probe_fn(params, ref_c, que)
+            score_d = probe_out
+        score = np.asarray(jax.device_get(score_d))
+        keep_mask = score[0] > threshold
+        if dilate > 0 and image_hw is not None:
+            keep_mask = _dilate_keep_mask(keep_mask, image_hw, dilate)
+        skip_idx = np.nonzero(~keep_mask)[0]
+        fs = estimate_false_skip(r, params, ref_c, que, skip_idx,
+                                 threshold, validate_rays, seed)
+        info["false_skip_rate"] = fs
+        info["probe_sample_num"] = psn
+        if fs <= tol:
+            render = (render_frame_probe_focus if focus
+                      else render_frame_probe_skip)
+            out = render(r, params, ref_c, que, threshold=threshold,
+                         bucket_chunks=bucket_chunks,
+                         keep_base=keep_base, image_hw=image_hw,
+                         dilate=dilate, mesh=mesh, probe_out=probe_out)
+            out.update(info)
+            return out
+        if psn * 2 > max_probe_sample_num:
+            out = render_frame_skip_empty(
+                renderer, params, ref_c, que, threshold=threshold,
+                bucket_chunks=bucket_chunks, keep_base=keep_base)
+            info["fallback"] = "two_phase"
+            out.update(info)
+            return out
+        psn *= 2
 
 
 def make_render_fn(renderer: NeurayRenderer, keep_keys=_DEFAULT_KEEP):

@@ -21,7 +21,8 @@ from neuray_tpu.utils.config import load_cfg
 from neuray_tpu.models.renderer import (
     NeurayRenderer, RenderConfig, make_render_fn, make_scene_encode_fn,
     make_ray_render_fn, render_frame_skip_empty,
-    render_frame_probe_skip)
+    render_frame_probe_skip, render_frame_probe_focus,
+    render_frame_probe_auto)
 from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
 
 # stay below the ~60s single-program limit observed on tunneled TPU
@@ -219,16 +220,31 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                 keep_base.append("pixel_colors_dr")
             if render_depth:
                 keep_base.append("render_depth")
-            if cfg.get("skip_mode", "two_phase") == "probe":
+            skip_mode = cfg.get("skip_mode", "two_phase")
+            skip_th = cfg.get("skip_empty_threshold", 0.05)
+            if skip_mode in ("auto", "auto_focus"):
+                # self-validating probe (audits skipped rays against
+                # the exact gate, escalates probe samples, two-phase
+                # fallback) — no per-scene probe_sample_num tuning
+                out = render_frame_probe_auto(
+                    renderer, params, ref_c, que, threshold=skip_th,
+                    keep_base=tuple(keep_base), image_hw=(h, w),
+                    dilate=cfg.get("probe_dilate", 1),
+                    focus=skip_mode == "auto_focus",
+                    tol=cfg.get("skip_auto_tol", 0.02))
+            elif skip_mode == "probe_focus":
+                out = render_frame_probe_focus(
+                    renderer, params, ref_c, que, threshold=skip_th,
+                    keep_base=tuple(keep_base), image_hw=(h, w),
+                    dilate=cfg.get("probe_dilate", 1))
+            elif skip_mode == "probe":
                 out = render_frame_probe_skip(
-                    renderer, params, ref_c, que,
-                    threshold=cfg.get("skip_empty_threshold", 0.05),
+                    renderer, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base), image_hw=(h, w),
                     dilate=cfg.get("probe_dilate", 1))
             else:
                 out = render_frame_skip_empty(
-                    renderer, params, ref_c, que,
-                    threshold=cfg.get("skip_empty_threshold", 0.05),
+                    renderer, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base))
         else:
             out = segmented_render(render_fn, params, ref, que, src,

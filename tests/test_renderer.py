@@ -185,9 +185,11 @@ def test_gradients_flow(scene_and_params):
 
 def test_skip_empty_render_matches_full(rng):
     """The two-phase empty-ray-skipping driver: threshold=-1 (keep all)
-    reproduces the single-phase render EXACTLY; a positive threshold
-    keeps hit rays exact and replaces skipped rays' fine output with
-    their coarse output."""
+    reproduces the single-phase render to float-ulp tolerance (the
+    split coarse/fine programs are DIFFERENT XLA programs than the
+    monolithic render, so fusion choices can wobble the last ulp); a
+    positive threshold keeps hit rays exact and replaces skipped rays'
+    fine output with their coarse output."""
     import jax
     from neuray_tpu.models.renderer import (
         NeurayRenderer, RenderConfig, render_full, make_scene_encode_fn,
@@ -220,9 +222,9 @@ def test_skip_empty_render_matches_full(rng):
                                       threshold=-1.0)
     assert out_all["kept_rays"] == que["coords"].shape[1]
     np.testing.assert_allclose(out_all["pixel_colors_nr"], full_nr,
-                               atol=1e-6)
+                               atol=5e-6)
     np.testing.assert_allclose(out_all["pixel_colors_nr_fine"], full_fine,
-                               atol=1e-6)
+                               atol=5e-6)
 
     out_skip = render_frame_skip_empty(renderer, params, ref_c, que,
                                        threshold=0.5)
@@ -233,7 +235,7 @@ def test_skip_empty_render_matches_full(rng):
     # skipped rays equal their coarse output
     skipped_mask = (out_skip["pixel_colors_nr_fine"]
                     == out_skip["pixel_colors_nr"]).all(-1)
-    exact_mask = kept < 1e-6
+    exact_mask = kept < 5e-6
     assert (exact_mask | skipped_mask).all()
 
 
@@ -392,3 +394,68 @@ def test_probe_focus_render(rng):
         np.asarray(direct["pixel_colors_nr_fine"], np.float32)[
             0, :kept.size], atol=1e-6)
     assert np.isfinite(out_d["pixel_colors_nr_fine"]).all()
+
+
+def test_probe_auto_render(rng):
+    """The SELF-VALIDATING driver (render_frame_probe_auto): accepts
+    the probe when the audited false-skip rate clears tol (then equals
+    render_frame_probe_skip), escalates probe_sample_num when it
+    cannot, and past max_probe_sample_num falls back to the exact
+    two-phase driver."""
+    import jax
+    from neuray_tpu.models.renderer import (
+        NeurayRenderer, RenderConfig, make_scene_encode_fn,
+        render_frame_probe_skip, render_frame_probe_auto,
+        render_frame_skip_empty)
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+
+    r = np.random.RandomState(7)
+    h = w = 32
+    ref = jax.tree.map(jnp.asarray, make_sphere_scene(r, 3, h, w))
+    que_np = make_query(r, h, w, rn=0, full_image=True)
+    que = {k: jnp.asarray(v) for k, v in que_np.items() if k != "imgs"}
+
+    cfg = RenderConfig(use_hierarchical_sampling=True, depth_sample_num=8,
+                       fine_depth_sample_num=8, ray_batch_num=64,
+                       probe_sample_num=4, use_vis=False,
+                       fine_use_vis=False, ray_mask_point_num=4)
+    renderer = NeurayRenderer(cfg)
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ref, dict(que, coords=que["coords"][:, :64]), False)
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+
+    # tol=1.0: any audit passes -> identical to the plain probe driver
+    out_auto = render_frame_probe_auto(
+        renderer, params, ref_c, que, threshold=0.3, dilate=0, tol=1.0)
+    out_plain = render_frame_probe_skip(
+        renderer, params, ref_c, que, threshold=0.3)
+    assert out_auto["fallback"] is None
+    assert out_auto["probe_sample_num"] == 4
+    assert 0.0 <= out_auto["false_skip_rate"] <= 1.0
+    assert out_auto["kept_rays"] == out_plain["kept_rays"]
+    np.testing.assert_array_equal(out_auto["pixel_colors_nr_fine"],
+                                  out_plain["pixel_colors_nr_fine"])
+
+    # impossible tol + no escalation room -> exact two-phase fallback
+    out_fb = render_frame_probe_auto(
+        renderer, params, ref_c, que, threshold=0.3, dilate=0,
+        tol=-1.0, max_probe_sample_num=8)
+    assert out_fb["fallback"] == "two_phase"
+    assert out_fb["probe_sample_num"] == 8  # escalated once, then fell back
+    out_tp = render_frame_skip_empty(
+        renderer, params, ref_c, que, threshold=0.3)
+    assert out_fb["kept_rays"] == out_tp["kept_rays"]
+
+    # threshold=-1 keeps every ray -> nothing skipped, audit trivially 0
+    out_all = render_frame_probe_auto(
+        renderer, params, ref_c, que, threshold=-1.0, dilate=0, tol=0.0)
+    assert out_all["kept_rays"] == que["coords"].shape[1]
+    assert out_all["false_skip_rate"] == 0.0
+
+    # focus variant goes through the same audit machinery
+    out_f = render_frame_probe_auto(
+        renderer, params, ref_c, que, threshold=0.3, dilate=0, tol=1.0,
+        focus=True)
+    assert out_f["fallback"] is None
+    assert np.isfinite(out_f["pixel_colors_nr_fine"]).all()

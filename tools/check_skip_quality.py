@@ -45,6 +45,13 @@ def main():
                     help="probe_sample_num values to sweep")
     ap.add_argument("--probe-thresholds", default="0.001,0.005,0.02")
     ap.add_argument("--probe-dilates", default="0,1,2")
+    ap.add_argument("--focus", action="store_true",
+                    help="sweep the probe-FOCUSED render "
+                         "(render_frame_probe_focus)")
+    ap.add_argument("--focus-samples", default="16:32,32:64",
+                    help="comma list of focus_sample_num:"
+                         "focus_fine_sample_num pairs")
+    ap.add_argument("--focus-margins", default="1")
     ap.add_argument("--weights", default=None)
     ap.add_argument("--scene", default="sphere",
                     choices=["sphere", "blobs"],
@@ -144,6 +151,53 @@ def main():
             "rays_per_s": round(n_rays / dt, 1),
             "psnr_vs_full": round(psnr(img, full), 3),
             "psnr_vs_gt": round(psnr(img, gt), 3)}), flush=True)
+
+    if flags.focus:
+        from neuray_tpu.models.renderer import render_frame_probe_focus
+        for psn in [int(x) for x in flags.probe_samples.split(",")]:
+            for pair in flags.focus_samples.split(","):
+                fsn, ffn = (int(x) for x in pair.split(":"))
+                for margin in [int(x) for x in
+                               flags.focus_margins.split(",")]:
+                    cfg_f = RenderConfig(
+                        use_hierarchical_sampling=True,
+                        depth_sample_num=dn, fine_depth_sample_num=dn,
+                        ray_batch_num=chunk, probe_sample_num=psn,
+                        focus_sample_num=min(fsn, dn),
+                        focus_fine_sample_num=min(ffn, dn),
+                        focus_margin=margin,
+                        use_vis=False, fine_use_vis=False,
+                        use_bf16=on_tpu,
+                        gather_quant="u8" if on_tpu else "none")
+                    renderer_f = NeurayRenderer(cfg_f)
+                    ref_cf = make_scene_encode_fn(renderer_f)(params, ref)
+                    for th in [float(x) for x in
+                               flags.probe_thresholds.split(",")]:
+                        for dil in [int(x) for x in
+                                    flags.probe_dilates.split(",")]:
+                            out = render_frame_probe_focus(
+                                renderer_f, params, ref_cf, que_all,
+                                threshold=th, image_hw=(h, w),
+                                dilate=dil)
+                            t0 = time.perf_counter()
+                            out = render_frame_probe_focus(
+                                renderer_f, params, ref_cf, que_all,
+                                threshold=th, image_hw=(h, w),
+                                dilate=dil)
+                            dt = time.perf_counter() - t0
+                            img = out["pixel_colors_nr_fine"][0]
+                            print(json.dumps({
+                                "mode": "focus", "probe_samples": psn,
+                                "focus_samples": f"{fsn}:{ffn}",
+                                "margin": margin, "threshold": th,
+                                "dilate": dil,
+                                "kept_fraction": round(
+                                    out["kept_rays"] / n_rays, 4),
+                                "time_s": round(dt, 2),
+                                "rays_per_s": round(n_rays / dt, 1),
+                                "psnr_vs_full": round(psnr(img, full), 3),
+                                "psnr_vs_gt": round(psnr(img, gt), 3)}),
+                                flush=True)
 
     if not flags.probe:
         return

@@ -90,7 +90,8 @@ def main():
                         help="drive the two-phase empty-ray-skipping "
                              "CLI branch (cfg: skip_empty_rays)")
     parser.add_argument("--skip_mode", default="two_phase",
-                        choices=["two_phase", "probe"],
+                        choices=["two_phase", "probe", "probe_focus",
+                                 "auto", "auto_focus"],
                         help="with --skip_empty: which skip driver the "
                              "CLI routes through (cfg: skip_mode)")
     flags = parser.parse_args()
