@@ -1183,11 +1183,14 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
       - past max_probe_sample_num, falls back to the exact two-phase
         driver (render_frame_skip_empty), whose gate cannot miss.
 
-    Measured escalation behavior (tools/check_skip_quality.py scenes):
-    the single-sphere scene validates at 8 probe samples; the
-    multi-blob scene with a thin r=0.08 sphere fails the audit at 8
-    (~5% false-skip) and validates at 16 — matching the hand-tuned
-    per-scene settings in docs/ARCHITECTURE.md.
+    Measured escalation behavior (800x800, trained bench weights,
+    tol=0.02, threshold=0.01, dilate=1, focus=True, v5e-1): the
+    single-sphere scene accepts 8 probe samples (audited false-skip
+    0.54%; 194k rays/s amortized, GT-PSNR 26.63); the multi-blob scene
+    with a thin r=0.08 sphere fails the audit at 8 AND at 16 and
+    accepts 32 (final false-skip 0.39%, kept 11.4% == the exact gate's
+    fraction, GT-PSNR 33.49 vs the full render's 33.37, 73.6k rays/s
+    — still 2.1x the full render).
 
     Returns the frame dict plus: probe_sample_num (accepted value),
     false_skip_rate (last audit), fallback ("two_phase" or None).

@@ -35,6 +35,17 @@ def main():
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--segment", type=int, default=327680)
+    ap.add_argument("--weights", default=None,
+                    help="trained CV weights "
+                         "(tools/make_bench_weights.py --init "
+                         "cost_volume); default: random init")
+    ap.add_argument("--focus", action="store_true",
+                    help="also bench the probe-FOCUSED render: "
+                         "threshold=-1 keeps EVERY ray (the "
+                         "forward-facing / fully-occupied regime — the "
+                         "win is purely from probe-narrowed sampling "
+                         "windows) and threshold=0.01 additionally "
+                         "skips empty rays. Needs --weights.")
     ap.add_argument("--cpu", action="store_true")
     flags = ap.parse_args()
 
@@ -110,10 +121,15 @@ def main():
     segments = [jnp.asarray(coords_pad[:, i * seg:(i + 1) * seg])
                 for i in range(n_seg)]
 
-    params = renderer.init(
-        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-        ref, {**que_base, "coords": segments[0][:, :chunk]}, False,
-        src=src)
+    if flags.weights:
+        from neuray_tpu.utils.params_io import load_params_npz
+        params = load_params_npz(flags.weights)
+    else:
+        params = renderer.init(
+            {"params": jax.random.PRNGKey(0),
+             "sample": jax.random.PRNGKey(1)},
+            ref, {**que_base, "coords": segments[0][:, :chunk]}, False,
+            src=src)
 
     encode_fn = make_scene_encode_fn(renderer)
     rays_fn = make_ray_render_fn(
@@ -148,6 +164,7 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
+    full_img = render_frame(ref_c)
     print(json.dumps({
         "metric": f"rays/sec/chip cost-volume ({qw}x{qh}, {rfn} views, "
                   f"nn={nn}, {dn}+{dn} samples, "
@@ -157,7 +174,57 @@ def main():
         "rays_per_sec_ray_loop": round(n_rays / dt, 1),
         "encode_s_incl_cost_volume": round(t_encode, 3),
         "frame_s": round(dt + t_encode, 3),
-    }))
+        "weights": "trained" if flags.weights else "random",
+    }), flush=True)
+
+    if not flags.focus:
+        return
+    from neuray_tpu.models.renderer import render_frame_probe_focus
+    gt, _, _ = render_sphere_view(que_pose, que_K, qh, qw)
+    gt = gt.reshape(-1, 3)
+
+    def psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return round(10 * np.log10(1.0 / max(mse, 1e-12)), 3)
+
+    cfg_f = RenderConfig(
+        init_net_type="cost_volume",
+        use_hierarchical_sampling=True, depth_sample_num=dn,
+        fine_depth_sample_num=dn, ray_batch_num=chunk,
+        probe_sample_num=16 if on_tpu else 8,
+        focus_sample_num=16 if on_tpu else 8,
+        focus_fine_sample_num=32 if on_tpu else 8,
+        use_vis=False, fine_use_vis=False, use_bf16=on_tpu,
+        gather_quant="u8" if on_tpu else "none")
+    renderer_f = NeurayRenderer(cfg_f)
+    encode_f = make_scene_encode_fn(renderer_f)
+    que_all = dict(que_base, coords=jnp.asarray(coords_all))
+    ref_cf = encode_f(params, ref, src)
+    np.asarray(jax.device_get(ref_cf["ray_feats"][0, 0, 0, :1]))
+    for th, label in ((-1.0, "focus_all_rays"), (0.01, "focus_skip")):
+        out = render_frame_probe_focus(
+            renderer_f, params, ref_cf, que_all, threshold=th,
+            image_hw=(qh, qw), dilate=0 if th < 0 else 1)  # warm
+        times_f = []
+        for _ in range(flags.frames):
+            t0 = time.perf_counter()
+            out = render_frame_probe_focus(
+                renderer_f, params, ref_cf, que_all, threshold=th,
+                image_hw=(qh, qw), dilate=0 if th < 0 else 1)
+            times_f.append(time.perf_counter() - t0)
+        dt_f = min(times_f)
+        img = out["pixel_colors_nr_fine"][0]
+        print(json.dumps({
+            "mode": label, "threshold": th,
+            "kept_fraction": round(out["kept_rays"] / n_rays, 4),
+            "rays_per_sec_amortized": round(n_rays / dt_f, 1),
+            "rays_per_sec_incl_encode": round(
+                n_rays / (dt_f + t_encode), 1),
+            "frame_s": round(dt_f + t_encode, 3),
+            "psnr_vs_full": psnr(img, full_img[0]),
+            "psnr_vs_gt": psnr(img, gt),
+            "full_psnr_vs_gt": psnr(full_img[0], gt),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -42,13 +42,21 @@ def main():
                     choices=["sphere", "blobs"],
                     help="blobs: 5 spheres incl. a thin r=0.08 one "
                          "(probe-generality evidence)")
+    ap.add_argument("--init", default="depth",
+                    choices=["depth", "cost_volume"],
+                    help="cost_volume: train the MVSNet-cost-volume "
+                         "init config (trained weights for "
+                         "tools/bench_cost_volume.py --focus)")
     ap.add_argument("--cpu", action="store_true")
     flags = ap.parse_args()
     if flags.out is None:
-        name = ("bench_weights.npz" if flags.scene == "sphere"
-                else f"bench_weights_{flags.scene}.npz")
+        name = "bench_weights"
+        if flags.scene != "sphere":
+            name += f"_{flags.scene}"
+        if flags.init == "cost_volume":
+            name += "_cv"
         flags.out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), name)
+            os.path.dirname(os.path.abspath(__file__)), name + ".npz")
 
     import jax
     if flags.cpu:
@@ -74,6 +82,7 @@ def main():
     # bench cfg minus the eval-only gather quantization; f32-accumulated
     # bf16 compute on TPU (params stay f32)
     cfg = RenderConfig(
+        init_net_type=flags.init,
         use_hierarchical_sampling=True, depth_sample_num=dn,
         fine_depth_sample_num=dn, ray_batch_num=flags.rays,
         use_vis=False, fine_use_vis=False, use_bf16=on_tpu,
@@ -85,6 +94,17 @@ def main():
                else make_blob_spheres(np.random.RandomState(42)))
     ref = {k: jnp.asarray(v) for k, v in
            make_sphere_scene(rng, 8, size, size, spheres).items()}
+    src = None
+    if flags.init == "cost_volume":
+        # src views = the refs themselves; nn_ids = 3 nearest other
+        # refs by camera center (mirrors tools/bench_cost_volume.py)
+        poses_np = np.asarray(ref["poses"])
+        centers = np.stack([-p[:, :3].T @ p[:, 3] for p in poses_np])
+        nn_ids = np.stack([
+            np.argsort(np.linalg.norm(centers - centers[i], axis=1))[1:4]
+            for i in range(len(centers))]).astype(np.int32)
+        ref["nn_ids"] = jnp.asarray(nn_ids)
+        src = {k: ref[k] for k in ("imgs", "poses", "Ks", "depth_range")}
 
     n_que = 16
     ques = []
@@ -98,7 +118,7 @@ def main():
                                  "use_ray_mask": True})
 
     def loss_fn(params, que, key):
-        out = renderer.apply(params, ref, que, True,
+        out = renderer.apply(params, ref, que, True, src=src,
                              rngs={"sample": key})
         losses = loss_fn_parts(out, {})
         return sum(jnp.mean(v) for v in losses.values())
@@ -111,7 +131,7 @@ def main():
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
         ref, {**ques[0],
               "coords": jnp.zeros((1, flags.rays, 2), jnp.float32)},
-        True)
+        True, src=src)
     opt_state = opt.init(params)
 
     @jax.jit
