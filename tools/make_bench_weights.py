@@ -78,6 +78,12 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     size = flags.size if (on_tpu or not flags.cpu) else min(flags.size, 64)
     dn = 64 if on_tpu else 16
+    if flags.init == "cost_volume" and size % 32:
+        # MVSNet's 3-level cost-reg U-Net needs h/4, w/4 divisible by 8
+        # (the reference pads ref images to /32, ref_pad_interval=32)
+        size -= size % 32
+        print(f"cost_volume: rounding size down to {size} (/32)",
+              flush=True)
 
     # bench cfg minus the eval-only gather quantization; f32-accumulated
     # bf16 compute on TPU (params stay f32)
