@@ -887,7 +887,8 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
                              bucket_chunks: int = 32,
                              keep_base=("pixel_colors_nr",),
                              image_hw=None, dilate: int = 0,
-                             mesh=None, probe_out=None):
+                             mesh=None, probe_out=None,
+                             probe_stride: int = 1):
     """THREE-phase eval render with FOCUSED sampling: the probe both
     scores every ray (skip decision, as render_frame_probe_skip) and
     narrows each kept ray's depth window; the kept rays then render
@@ -905,6 +906,15 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
     probe_out: optional precomputed (score_d, near_d, far_d) from
     make_focus_probe_fn — the self-validating driver
     (render_frame_probe_auto) probes once and reuses the result.
+
+    probe_stride: probe every stride-th pixel in x and y (requires
+    ``image_hw``; full-image row-major rays) — cuts the probe's taps
+    by stride^2, now the dominant tap cost of the focused frame. The
+    full-resolution rays inherit CONSERVATIVE windows from the probe
+    grid: 3x3 neighborhood min(near)/max(far) pooling at probe
+    resolution, and the keep decision is dilated by 1 probe pixel
+    before nearest-upsampling (a silhouette falling between probe
+    pixels lands in a kept, full-range-padded neighbor window).
     """
     import numpy as np
 
@@ -922,13 +932,46 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
         probe_fn = make_focus_probe_fn(renderer)
         rays_fn = make_focus_render_fn(renderer, keep_keys=keep_keys)
 
-    score_d, near_d, far_d = (probe_out if probe_out is not None
-                              else probe_fn(params, ref_c, que))
-    score = np.asarray(jax.device_get(score_d))
-
     qn, rn, _ = que["coords"].shape
     assert qn == 1, "skip-empty driver is per-query-view"
-    keep_mask = score[0] > threshold
+    if probe_stride > 1:
+        assert image_hw is not None and probe_out is None
+        h, w = image_hw
+        s = probe_stride
+        ys, xs = np.arange(0, h, s), np.arange(0, w, s)
+        hs, ws = ys.size, xs.size
+        sub_idx = (ys[:, None] * w + xs[None, :]).reshape(-1)
+        que_p = dict(que)
+        que_p["coords"] = jnp.take(
+            que["coords"], jnp.asarray(sub_idx), axis=1)
+        score_d, near_d, far_d = probe_fn(params, ref_c, que_p)
+        near_s = np.asarray(jax.device_get(near_d),
+                            np.float32)[0].reshape(hs, ws)
+        far_s = np.asarray(jax.device_get(far_d),
+                           np.float32)[0].reshape(hs, ws)
+        score_s = np.asarray(jax.device_get(score_d))[0].reshape(hs, ws)
+
+        def pool3(a, op):
+            p = np.pad(a, 1, mode="edge")
+            return op(np.stack([p[i:i + hs, j:j + ws]
+                                for i in range(3) for j in range(3)]),
+                      axis=0)
+
+        near_s = pool3(near_s, np.min)
+        far_s = pool3(far_s, np.max)
+        keep_s = _dilate_keep_mask(
+            (score_s > threshold).reshape(-1), (hs, ws), 1)
+        yi = np.minimum(np.arange(h) // s, hs - 1)
+        xi = np.minimum(np.arange(w) // s, ws - 1)
+        keep_mask = keep_s.reshape(hs, ws)[
+            yi[:, None], xi[None, :]].reshape(-1)
+        near_d = near_s[yi[:, None], xi[None, :]].reshape(1, -1)
+        far_d = far_s[yi[:, None], xi[None, :]].reshape(1, -1)
+    else:
+        score_d, near_d, far_d = (probe_out if probe_out is not None
+                                  else probe_fn(params, ref_c, que))
+        score = np.asarray(jax.device_get(score_d))
+        keep_mask = score[0] > threshold
     if dilate > 0 and image_hw is not None:
         keep_mask = _dilate_keep_mask(keep_mask, image_hw, dilate)
     keep = np.nonzero(keep_mask)[0]
@@ -946,10 +989,14 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
         kidx = jnp.asarray(keep_padded)
         que_k = dict(que)
         que_k["coords"] = jnp.take(que["coords"], kidx, axis=1)
-        near_k = jnp.take(near_d, kidx, axis=1)
-        far_k = jnp.take(far_d, kidx, axis=1)
+        if isinstance(near_d, np.ndarray):   # host windows (probe_stride)
+            near_k = jnp.asarray(near_d[:, keep_padded])
+            far_k = jnp.asarray(far_d[:, keep_padded])
+        else:
+            near_k = jnp.take(near_d, kidx, axis=1)
+            far_k = jnp.take(far_d, kidx, axis=1)
         kept_out = rays_fn(params, ref_c, que_k, near_k, far_k)
-    out = {"kept_rays": int(keep.size)}
+    out = {"kept_rays": int(keep.size), "keep_mask": keep_mask}
     for k in keep_base:
         for suffix in ("", "_fine"):
             if kept_out is not None:
@@ -1038,7 +1085,7 @@ def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
         que_k["coords"] = jnp.take(
             que["coords"], jnp.asarray(keep_padded), axis=1)
         kept_out = rays_fn(params, ref_c, que_k)
-    out = {"kept_rays": int(keep.size)}
+    out = {"kept_rays": int(keep.size), "keep_mask": keep_mask}
     for k in keep_base:
         for suffix in ("", "_fine"):
             if kept_out is not None:
@@ -1098,7 +1145,8 @@ def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
 
     qn, rn, _ = que["coords"].shape
     assert qn == 1, "skip-empty driver is per-query-view"
-    keep = np.nonzero(score[0] > threshold)[0]
+    keep_mask = score[0] > threshold
+    keep = np.nonzero(keep_mask)[0]
     fine = None
     if keep.size:
         chunk = c.ray_batch_num
@@ -1115,7 +1163,7 @@ def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
         que_k["coords"] = jnp.take(que["coords"], kp, axis=1)
         hp_k = jnp.take(hit_prob, kp, axis=1)
         fine = fine_fn(params, ref_c, que_k, hp_k)  # async dispatch
-    out = {"kept_rays": int(keep.size)}
+    out = {"kept_rays": int(keep.size), "keep_mask": keep_mask}
     for k in keep_base:
         base = np.asarray(jax.device_get(coarse[k]), np.float32)
         merged = base.copy()  # skipped rays: coarse estimate

@@ -459,3 +459,46 @@ def test_probe_auto_render(rng):
         focus=True)
     assert out_f["fallback"] is None
     assert np.isfinite(out_f["pixel_colors_nr_fine"]).all()
+
+
+def test_probe_focus_stride(rng):
+    """probe_stride=2 probes every 2nd pixel: the keep mask must cover
+    the (dilated) stride-1 mask's kept surface (conservative window
+    upsampling), and outputs stay finite with zeros on skipped rays."""
+    import jax
+    from neuray_tpu.models.renderer import (
+        NeurayRenderer, RenderConfig, make_scene_encode_fn,
+        render_frame_probe_focus)
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+
+    r = np.random.RandomState(7)
+    h = w = 32
+    ref = jax.tree.map(jnp.asarray, make_sphere_scene(r, 3, h, w))
+    que_np = make_query(r, h, w, rn=0, full_image=True)
+    que = {k: jnp.asarray(v) for k, v in que_np.items() if k != "imgs"}
+
+    cfg = RenderConfig(use_hierarchical_sampling=True, depth_sample_num=8,
+                       fine_depth_sample_num=8, ray_batch_num=64,
+                       probe_sample_num=4, use_vis=False,
+                       fine_use_vis=False, ray_mask_point_num=4,
+                       focus_sample_num=8, focus_fine_sample_num=8)
+    renderer = NeurayRenderer(cfg)
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ref, dict(que, coords=que["coords"][:, :64]), False)
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+
+    th = 0.3
+    out1 = render_frame_probe_focus(renderer, params, ref_c, que,
+                                    threshold=th, image_hw=(h, w))
+    out2 = render_frame_probe_focus(renderer, params, ref_c, que,
+                                    threshold=th, image_hw=(h, w),
+                                    probe_stride=2)
+    m1 = out1["keep_mask"].reshape(h, w)
+    m2 = out2["keep_mask"].reshape(h, w)
+    # strided keep set must contain every stride-1 kept ray whose probe
+    # pixel was sampled (even coords) — the conservative guarantee
+    assert (m2[::2, ::2] | ~m1[::2, ::2]).all()
+    # strided mode keeps MORE rays (dilated at probe resolution)
+    assert out2["kept_rays"] >= out1["kept_rays"]
+    assert np.isfinite(out2["pixel_colors_nr_fine"]).all()

@@ -52,6 +52,10 @@ def main():
                     help="comma list of focus_sample_num:"
                          "focus_fine_sample_num pairs")
     ap.add_argument("--focus-margins", default="1")
+    ap.add_argument("--probe-strides", default="1",
+                    help="focus mode: probe every stride-th pixel "
+                         "(stride^2 fewer probe taps, conservative "
+                         "window upsampling)")
     ap.add_argument("--weights", default=None)
     ap.add_argument("--scene", default="sphere",
                     choices=["sphere", "blobs"],
@@ -175,29 +179,33 @@ def main():
                                flags.probe_thresholds.split(",")]:
                         for dil in [int(x) for x in
                                     flags.probe_dilates.split(",")]:
-                            out = render_frame_probe_focus(
-                                renderer_f, params, ref_cf, que_all,
-                                threshold=th, image_hw=(h, w),
-                                dilate=dil)
-                            t0 = time.perf_counter()
-                            out = render_frame_probe_focus(
-                                renderer_f, params, ref_cf, que_all,
-                                threshold=th, image_hw=(h, w),
-                                dilate=dil)
-                            dt = time.perf_counter() - t0
-                            img = out["pixel_colors_nr_fine"][0]
-                            print(json.dumps({
-                                "mode": "focus", "probe_samples": psn,
-                                "focus_samples": f"{fsn}:{ffn}",
-                                "margin": margin, "threshold": th,
-                                "dilate": dil,
-                                "kept_fraction": round(
-                                    out["kept_rays"] / n_rays, 4),
-                                "time_s": round(dt, 2),
-                                "rays_per_s": round(n_rays / dt, 1),
-                                "psnr_vs_full": round(psnr(img, full), 3),
-                                "psnr_vs_gt": round(psnr(img, gt), 3)}),
-                                flush=True)
+                            for stride in [int(x) for x in
+                                           flags.probe_strides.split(",")]:
+                                out = render_frame_probe_focus(
+                                    renderer_f, params, ref_cf, que_all,
+                                    threshold=th, image_hw=(h, w),
+                                    dilate=dil, probe_stride=stride)
+                                t0 = time.perf_counter()
+                                out = render_frame_probe_focus(
+                                    renderer_f, params, ref_cf, que_all,
+                                    threshold=th, image_hw=(h, w),
+                                    dilate=dil, probe_stride=stride)
+                                dt = time.perf_counter() - t0
+                                img = out["pixel_colors_nr_fine"][0]
+                                print(json.dumps({
+                                    "mode": "focus", "probe_samples": psn,
+                                    "focus_samples": f"{fsn}:{ffn}",
+                                    "margin": margin, "threshold": th,
+                                    "dilate": dil, "probe_stride": stride,
+                                    "kept_fraction": round(
+                                        out["kept_rays"] / n_rays, 4),
+                                    "time_s": round(dt, 2),
+                                    "rays_per_s": round(n_rays / dt, 1),
+                                    "psnr_vs_full": round(
+                                        psnr(img, full), 3),
+                                    "psnr_vs_gt": round(
+                                        psnr(img, gt), 3)}),
+                                    flush=True)
 
     if not flags.probe:
         return
