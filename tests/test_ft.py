@@ -170,3 +170,68 @@ def test_ft_skip_empty_matches_render_fn(fake_scene, monkeypatch):
     assert out_p["kept_rays"] == h * w
     np.testing.assert_allclose(out_p["pixel_colors_nr_fine"], full_fine,
                                atol=1e-6)
+
+
+def test_ft_focus_and_auto_routes(fake_scene, monkeypatch):
+    """The FT CLI's probe_focus and auto_focus skip modes run over an
+    FT-encoded scene: finite outputs, zeros on skipped rays, and the
+    auto route reports its audit fields."""
+    import jax.numpy as jnp
+    from neuray_tpu.data import database as D
+    monkeypatch.setattr(D, "DATA_ROOT", fake_scene)
+    from neuray_tpu.models.ft import FtRenderer, make_ft_encode_fn
+    from neuray_tpu.models.renderer import (
+        render_frame_probe_focus, render_frame_probe_auto)
+
+    cfg = {
+        "database_name": "nerf_synthetic/toy/black_800",
+        "database_split": "val_all",
+        "gen_cfg": None,
+        "use_validation": False,
+        "neighbor_view_num": 4,
+        "train_ray_num": 32,
+        "ray_feats_res": [8, 8],
+        "ray_feats_dim": 32,
+        "use_self_hit_prob": False,
+        "use_hierarchical_sampling": True,
+        "depth_sample_num": 8,
+        "fine_depth_sample_num": 8,
+        "ray_batch_num": 64,
+        "ray_mask_point_num": 4,
+        "probe_sample_num": 4,
+        "focus_sample_num": 8,
+        "focus_fine_sample_num": 8,
+        "dist_decoder_cfg": {"use_vis": False},
+        "fine_dist_decoder_cfg": {"use_vis": False},
+    }
+    ft = FtRenderer(cfg)
+    params = ft.init_params()
+
+    ref_idx = np.arange(cfg["neighbor_view_num"])
+    ref = ft._slice_ref(ref_idx)
+    ref["ray_feats_raw"] = jnp.take(
+        params["ray_feats"], jnp.asarray(ref_idx), axis=0)
+    h = w = 16
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    coords = np.stack([xs, ys], -1).reshape(1, -1, 2).astype(np.float32)
+    que = {"coords": jnp.asarray(coords),
+           "poses": jnp.asarray(ft.ref_info["poses"][:1]),
+           "Ks": jnp.asarray(ft.ref_info["Ks"][:1]),
+           "depth_range": jnp.asarray(ft.ref_info["depth_range"][:1])}
+    ref_c = make_ft_encode_fn(ft)(params["net"], dict(ref))
+
+    out_f = render_frame_probe_focus(
+        ft.renderer, params["net"], ref_c, que, threshold=0.3,
+        keep_base=("pixel_colors_nr",), image_hw=(h, w), dilate=1)
+    assert np.isfinite(out_f["pixel_colors_nr_fine"]).all()
+    skipped = ~out_f["keep_mask"]
+    if skipped.any():
+        assert (out_f["pixel_colors_nr_fine"][0, skipped] == 0).all()
+
+    out_a = render_frame_probe_auto(
+        ft.renderer, params["net"], ref_c, que, threshold=0.3,
+        keep_base=("pixel_colors_nr",), image_hw=(h, w), dilate=1,
+        focus=True, tol=1.0)
+    assert out_a["fallback"] is None
+    assert 0.0 <= out_a["false_skip_rate"] <= 1.0
+    assert np.isfinite(out_a["pixel_colors_nr_fine"]).all()
