@@ -202,6 +202,13 @@ def main():
         threshold = float(os.environ.get("BENCH_SKIP_THRESHOLD", 0.01))
         mode = skip_mode
         dilate = int(os.environ.get("BENCH_PROBE_DILATE", 1))
+        # focus: probe every stride-th pixel (stride^2 fewer probe
+        # taps, conservative window/mask upsampling). stride 2 measured
+        # 200k rays/s amortized at GT-PSNR 27.2 on the sphere (stride 1:
+        # 141k / 26.8) — quality sweep in check_skip_quality.py
+        # --probe-strides.
+        probe_stride = int(os.environ.get(
+            "BENCH_PROBE_STRIDE", 2 if (on_tpu and mode == "focus") else 1))
         que_all = dict(que_base, coords=jnp.asarray(que_np["coords"]))
         # multi-chip: probe + kept phase shard the ray axis
         # (tests/test_parallel.py: sharded == unsharded); the
@@ -217,7 +224,8 @@ def main():
                 return render_frame_probe_focus(
                     renderer, params, ref_c, que_all,
                     threshold=threshold, image_hw=(h, w), dilate=dilate,
-                    mesh=skip_mesh)
+                    mesh=skip_mesh,
+                    probe_stride=probe_stride if skip_mesh is None else 1)
             if mode == "probe":
                 return render_frame_probe_skip(
                     renderer, params, ref_c, que_all,
@@ -271,6 +279,8 @@ def main():
         if mode == "focus":
             skip_stats["focus_samples"] = (
                 f"{cfg.focus_sample_num}:{cfg.focus_fine_sample_num}")
+            skip_stats["probe_stride"] = (
+                probe_stride if skip_mesh is None else 1)
 
     baseline, baseline_kind, raw_cpu, mult = _baseline_rays_per_sec()
     result = {

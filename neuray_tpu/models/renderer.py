@@ -882,6 +882,46 @@ def _dilate_keep_mask(keep_mask, image_hw, dilate: int):
     return m.reshape(-1)
 
 
+def _strided_focus_probe(probe_fn, params, ref_c, que, threshold: float,
+                         image_hw, stride: int):
+    """Run the focus probe on a 1/stride^2 pixel subgrid and upsample
+    conservatively (see render_frame_probe_focus's probe_stride doc).
+    Returns (keep_mask [rn] bool, near [1, rn] np, far [1, rn] np)."""
+    import numpy as np
+
+    h, w = image_hw
+    ys, xs = np.arange(0, h, stride), np.arange(0, w, stride)
+    hs, ws = ys.size, xs.size
+    sub_idx = (ys[:, None] * w + xs[None, :]).reshape(-1)
+    que_p = dict(que)
+    que_p["coords"] = jnp.take(
+        que["coords"], jnp.asarray(sub_idx), axis=1)
+    score_d, near_d, far_d = probe_fn(params, ref_c, que_p)
+    near_s = np.asarray(jax.device_get(near_d),
+                        np.float32)[0].reshape(hs, ws)
+    far_s = np.asarray(jax.device_get(far_d),
+                       np.float32)[0].reshape(hs, ws)
+    score_s = np.asarray(jax.device_get(score_d))[0].reshape(hs, ws)
+
+    def pool3(a, op):
+        p = np.pad(a, 1, mode="edge")
+        return op(np.stack([p[i:i + hs, j:j + ws]
+                            for i in range(3) for j in range(3)]),
+                  axis=0)
+
+    near_s = pool3(near_s, np.min)
+    far_s = pool3(far_s, np.max)
+    keep_s = _dilate_keep_mask(
+        (score_s > threshold).reshape(-1), (hs, ws), 1)
+    yi = np.minimum(np.arange(h) // stride, hs - 1)
+    xi = np.minimum(np.arange(w) // stride, ws - 1)
+    keep_mask = keep_s.reshape(hs, ws)[
+        yi[:, None], xi[None, :]].reshape(-1)
+    near = near_s[yi[:, None], xi[None, :]].reshape(1, -1)
+    far = far_s[yi[:, None], xi[None, :]].reshape(1, -1)
+    return keep_mask, near, far
+
+
 def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
                              que, threshold: float = 0.005,
                              bucket_chunks: int = 32,
@@ -936,37 +976,9 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
     assert qn == 1, "skip-empty driver is per-query-view"
     if probe_stride > 1:
         assert image_hw is not None and probe_out is None
-        h, w = image_hw
-        s = probe_stride
-        ys, xs = np.arange(0, h, s), np.arange(0, w, s)
-        hs, ws = ys.size, xs.size
-        sub_idx = (ys[:, None] * w + xs[None, :]).reshape(-1)
-        que_p = dict(que)
-        que_p["coords"] = jnp.take(
-            que["coords"], jnp.asarray(sub_idx), axis=1)
-        score_d, near_d, far_d = probe_fn(params, ref_c, que_p)
-        near_s = np.asarray(jax.device_get(near_d),
-                            np.float32)[0].reshape(hs, ws)
-        far_s = np.asarray(jax.device_get(far_d),
-                           np.float32)[0].reshape(hs, ws)
-        score_s = np.asarray(jax.device_get(score_d))[0].reshape(hs, ws)
-
-        def pool3(a, op):
-            p = np.pad(a, 1, mode="edge")
-            return op(np.stack([p[i:i + hs, j:j + ws]
-                                for i in range(3) for j in range(3)]),
-                      axis=0)
-
-        near_s = pool3(near_s, np.min)
-        far_s = pool3(far_s, np.max)
-        keep_s = _dilate_keep_mask(
-            (score_s > threshold).reshape(-1), (hs, ws), 1)
-        yi = np.minimum(np.arange(h) // s, hs - 1)
-        xi = np.minimum(np.arange(w) // s, ws - 1)
-        keep_mask = keep_s.reshape(hs, ws)[
-            yi[:, None], xi[None, :]].reshape(-1)
-        near_d = near_s[yi[:, None], xi[None, :]].reshape(1, -1)
-        far_d = far_s[yi[:, None], xi[None, :]].reshape(1, -1)
+        keep_mask, near_d, far_d = _strided_focus_probe(
+            probe_fn, params, ref_c, que, threshold, image_hw,
+            probe_stride)
     else:
         score_d, near_d, far_d = (probe_out if probe_out is not None
                                   else probe_fn(params, ref_c, que))
@@ -1216,7 +1228,8 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
                             focus: bool = False, mesh=None,
                             tol: float = 0.02,
                             max_probe_sample_num: int = 32,
-                            validate_rays: int = 2048, seed: int = 0):
+                            validate_rays: int = 2048, seed: int = 0,
+                            probe_stride: int = 1):
     """SELF-VALIDATING probe-skip/focus render — removes the
     scene-tuned probe_sample_num knob.
 
@@ -1247,21 +1260,28 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
 
     c = renderer.cfg
     psn = c.probe_sample_num
+    use_stride = focus and probe_stride > 1 and image_hw is not None
     info = {"fallback": None}
     while True:
         r = (renderer if psn == c.probe_sample_num
              else NeurayRenderer(dataclasses.replace(
                  c, probe_sample_num=psn)))
-        if focus:
-            probe_fn = make_focus_probe_fn(r)
-            probe_out = probe_fn(params, ref_c, que)
-            score_d = probe_out[0]
+        probe_out = None
+        if use_stride:
+            keep_mask, _, _ = _strided_focus_probe(
+                make_focus_probe_fn(r), params, ref_c, que, threshold,
+                image_hw, probe_stride)
         else:
-            probe_fn = make_probe_fn(r)
-            probe_out = probe_fn(params, ref_c, que)
-            score_d = probe_out
-        score = np.asarray(jax.device_get(score_d))
-        keep_mask = score[0] > threshold
+            if focus:
+                probe_fn = make_focus_probe_fn(r)
+                probe_out = probe_fn(params, ref_c, que)
+                score_d = probe_out[0]
+            else:
+                probe_fn = make_probe_fn(r)
+                probe_out = probe_fn(params, ref_c, que)
+                score_d = probe_out
+            score = np.asarray(jax.device_get(score_d))
+            keep_mask = score[0] > threshold
         if dilate > 0 and image_hw is not None:
             keep_mask = _dilate_keep_mask(keep_mask, image_hw, dilate)
         skip_idx = np.nonzero(~keep_mask)[0]
@@ -1270,12 +1290,19 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
         info["false_skip_rate"] = fs
         info["probe_sample_num"] = psn
         if fs <= tol:
-            render = (render_frame_probe_focus if focus
-                      else render_frame_probe_skip)
-            out = render(r, params, ref_c, que, threshold=threshold,
-                         bucket_chunks=bucket_chunks,
-                         keep_base=keep_base, image_hw=image_hw,
-                         dilate=dilate, mesh=mesh, probe_out=probe_out)
+            if focus:
+                out = render_frame_probe_focus(
+                    r, params, ref_c, que, threshold=threshold,
+                    bucket_chunks=bucket_chunks, keep_base=keep_base,
+                    image_hw=image_hw, dilate=dilate, mesh=mesh,
+                    probe_out=probe_out,
+                    probe_stride=probe_stride if use_stride else 1)
+            else:
+                out = render_frame_probe_skip(
+                    r, params, ref_c, que, threshold=threshold,
+                    bucket_chunks=bucket_chunks, keep_base=keep_base,
+                    image_hw=image_hw, dilate=dilate, mesh=mesh,
+                    probe_out=probe_out)
             out.update(info)
             return out
         if psn * 2 > max_probe_sample_num:

@@ -502,3 +502,11 @@ def test_probe_focus_stride(rng):
     # strided mode keeps MORE rays (dilated at probe resolution)
     assert out2["kept_rays"] >= out1["kept_rays"]
     assert np.isfinite(out2["pixel_colors_nr_fine"]).all()
+
+    # the self-validating driver accepts the strided probe route too
+    from neuray_tpu.models.renderer import render_frame_probe_auto
+    out_a = render_frame_probe_auto(
+        renderer, params, ref_c, que, threshold=th, image_hw=(h, w),
+        dilate=0, focus=True, tol=1.0, probe_stride=2)
+    assert out_a["fallback"] is None
+    assert out_a["kept_rays"] == out2["kept_rays"]
