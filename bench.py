@@ -103,6 +103,12 @@ def main():
                                             16 if on_tpu else 8)),
         focus_fine_sample_num=int(os.environ.get("BENCH_FOCUS_FSN",
                                                  32 if on_tpu else 8)),
+        # the rfn^2*h*w cross-view diff gather dominates the scene
+        # encode (tools/profile_encode.py: 1.29s of 1.51s); computing
+        # it on the half grid costs -0.05 dB GT on the sphere, +0.03 on
+        # blobs (trained weights) for a 1.50s -> 0.46s encode
+        init_diff_scale=int(os.environ.get("BENCH_DIFF_SCALE",
+                                           2 if on_tpu else 1)),
         use_vis=False, fine_use_vis=False, use_bf16=on_tpu,
         gather_quant=quant)
     renderer = NeurayRenderer(cfg)

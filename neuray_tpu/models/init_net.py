@@ -108,11 +108,32 @@ class DepthInitNet(nn.Module):
     @nn.compact
     def __call__(self, ref, src=None, is_train: bool = False):
         """ref imgs_info dict with imgs [rfn,h,w,3] and estimated metric
-        depth [rfn,h,w,1] -> G' [rfn, h/4, w/4, 32]."""
+        depth [rfn,h,w,1] -> G' [rfn, h/4, w/4, 32].
+
+        cfg["diff_scale"] (eval knob, default 1): compute the
+        cross-view diff features on a 1/s-subsampled pixel grid and
+        bilinearly upsample back — the diff gather is rfn^2*h*w taps,
+        the dominant cost of the scene encode at bench shapes
+        (tools/profile_encode.py), while the diff signal feeds a /4-res
+        output; s=2 cuts those taps 4x. s=1 is exact reference parity
+        (init_net.py:29-61)."""
         imgs, depth = ref["imgs"], ref["depth"]
         depth_range, poses, Ks = ref["depth_range"], ref["poses"], ref["Ks"]
         depth_n = extract_depth_for_init(depth_range, depth)
-        diff = get_diff_feats(imgs, depth_n, depth_range, poses, Ks)
+        s = int(self.cfg.get("diff_scale", 1))
+        if s > 1:
+            # subsampled pixel i maps to original s*i: K' = diag(1/s,1/s,1) K
+            scale = jnp.asarray([1.0 / s, 1.0 / s, 1.0],
+                                jnp.float32)[:, None]
+            Ks_s = Ks * scale[None]
+            diff_s = get_diff_feats(
+                imgs[:, ::s, ::s], depth_n[:, ::s, ::s], depth_range,
+                poses, Ks_s)
+            rfn, h, w, _ = imgs.shape
+            diff = jax.image.resize(
+                diff_s, (rfn, h, w, diff_s.shape[-1]), "bilinear")
+        else:
+            diff = get_diff_feats(imgs, depth_n, depth_range, poses, Ks)
         feats = ResEncoder(dtype=self.dtype, name="res_net")(
             jnp.concatenate([imgs, depth_n, diff], axis=-1))
         skip = nn.Conv(8, (2, 2), (2, 2), padding="VALID", use_bias=True,

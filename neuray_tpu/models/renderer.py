@@ -51,6 +51,10 @@ class RenderConfig:
     fine_use_vis: bool = True      # fine_dist_decoder_cfg.use_vis
     neuray_dim: int = 32
     cost_volume_sn: int = 64       # init_net_cfg.cost_volume_sn
+    # DepthInitNet eval knob: compute the rfn^2*h*w cross-view diff
+    # gather on a 1/s pixel subgrid (models/init_net.py) — the encode's
+    # dominant cost at bench shapes. 1 = exact reference parity.
+    init_diff_scale: int = 1
 
     use_hierarchical_sampling: bool = False
     fine_depth_sample_num: int = 64
@@ -107,6 +111,8 @@ class RenderConfig:
         inc = cfg.get("init_net_cfg", {}) or {}
         if "cost_volume_sn" in inc:
             kwargs["cost_volume_sn"] = inc["cost_volume_sn"]
+        if "diff_scale" in inc:
+            kwargs["init_diff_scale"] = inc["diff_scale"]
         return cls(**kwargs)
 
 
@@ -142,7 +148,8 @@ class NeurayRenderer(nn.Module):
                 dtype=dt, name="fine_agg_net")
         if c.init_net_type:
             self.init_net = name2init_net[c.init_net_type](
-                {"cost_volume_sn": c.cost_volume_sn}, dtype=dt,
+                {"cost_volume_sn": c.cost_volume_sn,
+                 "diff_scale": c.init_diff_scale}, dtype=dt,
                 name="init_net")
         self.sh_regs = jnp.asarray(SH.sh_regs(3))
 

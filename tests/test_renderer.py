@@ -510,3 +510,40 @@ def test_probe_focus_stride(rng):
         dilate=0, focus=True, tol=1.0, probe_stride=2)
     assert out_a["fallback"] is None
     assert out_a["kept_rays"] == out2["kept_rays"]
+
+
+def test_init_diff_scale(rng):
+    """init_diff_scale=2 (the encode's diff gather on the half grid)
+    uses the SAME param tree (the knob changes only the eval grid) and
+    produces G' close to the exact full-grid features."""
+    import jax
+    import dataclasses
+    from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+    from neuray_tpu.data.synthetic import make_sphere_scene
+
+    r = np.random.RandomState(0)
+    ref = jax.tree.map(jnp.asarray, make_sphere_scene(r, 4, 64, 64))
+    cfg1 = RenderConfig(use_vis=False, fine_use_vis=False)
+    cfg2 = dataclasses.replace(cfg1, init_diff_scale=2)
+    r1, r2 = NeurayRenderer(cfg1), NeurayRenderer(cfg2)
+    que = {"coords": jnp.zeros((1, 16, 2), jnp.float32),
+           "poses": ref["poses"][:1], "Ks": ref["Ks"][:1],
+           "depth_range": ref["depth_range"][:1]}
+    p1 = r1.init({"params": jax.random.PRNGKey(0),
+                  "sample": jax.random.PRNGKey(1)}, ref, que, False)
+    p2 = r2.init({"params": jax.random.PRNGKey(0),
+                  "sample": jax.random.PRNGKey(1)}, ref, que, False)
+    assert jax.tree.structure(p1) == jax.tree.structure(p2)
+    g1 = np.asarray(r1.apply(
+        p1, ref, None, method=NeurayRenderer.initialize_ray_feats),
+        np.float32)
+    g2 = np.asarray(r2.apply(
+        p1, ref, None, method=NeurayRenderer.initialize_ray_feats),
+        np.float32)
+    assert g1.shape == g2.shape
+    assert np.isfinite(g2).all()
+    # same features up to the half-grid interpolation error (random
+    # conv weights amplify; trained-weight quality is measured on TPU:
+    # -0.05 dB sphere / +0.03 dB blobs, docs/ARCHITECTURE.md)
+    corr = np.corrcoef(g1.reshape(-1), g2.reshape(-1))[0, 1]
+    assert corr > 0.8  # 64x64 scene -> 32x32 subgrid; 0.88 measured
