@@ -215,6 +215,11 @@ def main():
         # --probe-strides.
         probe_stride = int(os.environ.get(
             "BENCH_PROBE_STRIDE", 2 if (on_tpu and mode == "focus") else 1))
+        # kept rays are compacted into buckets of `bucket` chunks: 32
+        # bounds jit shape variants across frames of a video (kept
+        # count varies); a single-frame bench pays 12.5% padding there,
+        # 0.5% at 8
+        bucket = int(os.environ.get("BENCH_BUCKET", 8))
         que_all = dict(que_base, coords=jnp.asarray(que_np["coords"]))
         # multi-chip: probe + kept phase shard the ray axis
         # (tests/test_parallel.py: sharded == unsharded); the
@@ -230,13 +235,13 @@ def main():
                 return render_frame_probe_focus(
                     renderer, params, ref_c, que_all,
                     threshold=threshold, image_hw=(h, w), dilate=dilate,
-                    mesh=skip_mesh,
+                    mesh=skip_mesh, bucket_chunks=bucket,
                     probe_stride=probe_stride if skip_mesh is None else 1)
             if mode == "probe":
                 return render_frame_probe_skip(
                     renderer, params, ref_c, que_all,
                     threshold=threshold, image_hw=(h, w), dilate=dilate,
-                    mesh=skip_mesh)
+                    mesh=skip_mesh, bucket_chunks=bucket)
             return render_frame_skip_empty(
                 renderer, params, ref_c, que_all, threshold=threshold)
 

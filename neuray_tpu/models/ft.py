@@ -406,12 +406,14 @@ def render_video_ft(database_name, cfg_fn, pose_type, pose_fn,
                     threshold=skip_th, keep_base=("pixel_colors_nr",),
                     image_hw=(h, w), dilate=cfg.get("probe_dilate", 1),
                     focus=skip_mode == "auto_focus",
-                    tol=cfg.get("skip_auto_tol", 0.02))
+                    tol=cfg.get("skip_auto_tol", 0.02),
+                    probe_stride=cfg.get("probe_stride", 1))
             elif skip_mode == "probe_focus":
                 out = render_frame_probe_focus(
                     ft.renderer, params["net"], ref_c, que,
                     threshold=skip_th, keep_base=("pixel_colors_nr",),
-                    image_hw=(h, w), dilate=cfg.get("probe_dilate", 1))
+                    image_hw=(h, w), dilate=cfg.get("probe_dilate", 1),
+                    probe_stride=cfg.get("probe_stride", 1))
             elif skip_mode == "probe":
                 out = render_frame_probe_skip(
                     ft.renderer, params["net"], ref_c, que,

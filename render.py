@@ -8,6 +8,7 @@ render_video_ft :155-194; save conventions {qi}-nr.jpg / {qi}-nr_fine.jpg
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 from pathlib import Path
 
@@ -178,6 +179,8 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
     pad_interval = cfg.get("ref_pad_interval", 16)
 
     re = len(que_poses) if re == -1 else min(re, len(que_poses))
+    accepted_psn = None      # auto skip-mode: set by the 1st-frame audit
+    renderer_skip = renderer
     for qi in range(rb, re):
         if os.path.exists(f"{output_dir}/{qi}-nr_fine.jpg"):
             continue
@@ -222,26 +225,44 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                 keep_base.append("render_depth")
             skip_mode = cfg.get("skip_mode", "two_phase")
             skip_th = cfg.get("skip_empty_threshold", 0.05)
-            if skip_mode in ("auto", "auto_focus"):
+            p_stride = cfg.get("probe_stride", 1)
+            p_dilate = cfg.get("probe_dilate", 1)
+            if skip_mode in ("auto", "auto_focus") and \
+                    accepted_psn is None:
                 # self-validating probe (audits skipped rays against
                 # the exact gate, escalates probe samples, two-phase
-                # fallback) — no per-scene probe_sample_num tuning
+                # fallback) — no per-scene probe_sample_num tuning.
+                # The audit runs on the FIRST frame only; later frames
+                # of the same scene reuse the accepted setting (the
+                # probe failure mode is a scene property, not per-pose)
                 out = render_frame_probe_auto(
                     renderer, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base), image_hw=(h, w),
-                    dilate=cfg.get("probe_dilate", 1),
-                    focus=skip_mode == "auto_focus",
-                    tol=cfg.get("skip_auto_tol", 0.02))
-            elif skip_mode == "probe_focus":
+                    dilate=p_dilate, focus=skip_mode == "auto_focus",
+                    tol=cfg.get("skip_auto_tol", 0.02),
+                    probe_stride=p_stride)
+                if out["fallback"] is None:
+                    accepted_psn = out["probe_sample_num"]
+                    if accepted_psn != render_cfg.probe_sample_num:
+                        renderer_skip = NeurayRenderer(
+                            dataclasses.replace(
+                                render_cfg,
+                                probe_sample_num=accepted_psn))
+                    else:
+                        renderer_skip = renderer
+                print(f"auto probe: psn={out['probe_sample_num']} "
+                      f"false_skip={out['false_skip_rate']:.4f} "
+                      f"fallback={out['fallback']}", flush=True)
+            elif skip_mode in ("probe_focus", "auto_focus"):
                 out = render_frame_probe_focus(
-                    renderer, params, ref_c, que, threshold=skip_th,
+                    renderer_skip, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base), image_hw=(h, w),
-                    dilate=cfg.get("probe_dilate", 1))
-            elif skip_mode == "probe":
+                    dilate=p_dilate, probe_stride=p_stride)
+            elif skip_mode in ("probe", "auto"):
                 out = render_frame_probe_skip(
-                    renderer, params, ref_c, que, threshold=skip_th,
+                    renderer_skip, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base), image_hw=(h, w),
-                    dilate=cfg.get("probe_dilate", 1))
+                    dilate=p_dilate)
             else:
                 out = render_frame_skip_empty(
                     renderer, params, ref_c, que, threshold=skip_th,

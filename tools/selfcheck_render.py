@@ -94,6 +94,9 @@ def main():
                                  "auto", "auto_focus"],
                         help="with --skip_empty: which skip driver the "
                              "CLI routes through (cfg: skip_mode)")
+    parser.add_argument("--probe_stride", type=int, default=1,
+                        help="with --skip_empty focus modes: probe "
+                             "subgrid stride (cfg: probe_stride)")
     flags = parser.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="neuray_selfcheck_")
@@ -130,6 +133,7 @@ def main():
         cfg_dict["skip_empty_threshold"] = 0.05
         cfg_dict["skip_mode"] = flags.skip_mode
         cfg_dict["probe_sample_num"] = 8
+        cfg_dict["probe_stride"] = flags.probe_stride
     cfg_path = os.path.join(tmp, "selfcheck_gen.yaml")
     import yaml
     with open(cfg_path, "w") as f:
