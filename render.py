@@ -138,9 +138,13 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
     renderer = NeurayRenderer(render_cfg)
 
     import orbax.checkpoint as ocp
-    ckpt_dir = os.path.abspath(f'data/model/{cfg["name"]}/ckpt_best')
+    # load_ckpt_name: eval profiles (e.g. neuray_gen_depth_fast.yaml)
+    # reuse another config's trained checkpoint — eval-time knobs do
+    # not change the parameter tree
+    ckpt_name = cfg.get("load_ckpt_name", cfg["name"])
+    ckpt_dir = os.path.abspath(f'data/model/{ckpt_name}/ckpt_best')
     if not os.path.exists(ckpt_dir):
-        ckpt_dir = os.path.abspath(f'data/model/{cfg["name"]}/ckpt')
+        ckpt_dir = os.path.abspath(f'data/model/{ckpt_name}/ckpt')
     params = ocp.PyTreeCheckpointer().restore(ckpt_dir)["params"]
 
     database = parse_database_name(database_name)
