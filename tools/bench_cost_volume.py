@@ -46,6 +46,8 @@ def main():
                          "win is purely from probe-narrowed sampling "
                          "windows) and threshold=0.01 additionally "
                          "skips empty rays. Needs --weights.")
+    ap.add_argument("--probe-stride", type=int, default=2,
+                    help="focus modes: probe every stride-th pixel")
     ap.add_argument("--cpu", action="store_true")
     flags = ap.parse_args()
 
@@ -201,21 +203,26 @@ def main():
     que_all = dict(que_base, coords=jnp.asarray(coords_all))
     ref_cf = encode_f(params, ref, src)
     np.asarray(jax.device_get(ref_cf["ray_feats"][0, 0, 0, :1]))
+    stride = flags.probe_stride
     for th, label in ((-1.0, "focus_all_rays"), (0.01, "focus_skip")):
+        # threshold=-1 keeps all rays regardless of the probe grid, so
+        # the strided keep mask is exact there; windows stay pooled
         out = render_frame_probe_focus(
             renderer_f, params, ref_cf, que_all, threshold=th,
-            image_hw=(qh, qw), dilate=0 if th < 0 else 1)  # warm
+            image_hw=(qh, qw), dilate=0 if th < 0 else 1,
+            probe_stride=stride, bucket_chunks=8)  # warm
         times_f = []
         for _ in range(flags.frames):
             t0 = time.perf_counter()
             out = render_frame_probe_focus(
                 renderer_f, params, ref_cf, que_all, threshold=th,
-                image_hw=(qh, qw), dilate=0 if th < 0 else 1)
+                image_hw=(qh, qw), dilate=0 if th < 0 else 1,
+                probe_stride=stride, bucket_chunks=8)
             times_f.append(time.perf_counter() - t0)
         dt_f = min(times_f)
         img = out["pixel_colors_nr_fine"][0]
         print(json.dumps({
-            "mode": label, "threshold": th,
+            "mode": label, "threshold": th, "probe_stride": stride,
             "kept_fraction": round(out["kept_rays"] / n_rays, 4),
             "rays_per_sec_amortized": round(n_rays / dt_f, 1),
             "rays_per_sec_incl_encode": round(
