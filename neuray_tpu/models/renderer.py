@@ -1024,7 +1024,10 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
                 full = np.zeros((qn, rn) + vals.shape[2:], np.float32)
                 full[0, keep] = vals[0, :keep.size]
             else:
-                full = np.zeros((qn, rn, 3), np.float32)
+                # nothing kept: zero-fill with the key's known rank
+                # (colors are 3-channel, render_depth is per-ray)
+                tail = () if k == "render_depth" else (3,)
+                full = np.zeros((qn, rn) + tail, np.float32)
             out[k + suffix] = full
     return out
 
@@ -1113,7 +1116,10 @@ def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
                 full = np.zeros((qn, rn) + vals.shape[2:], np.float32)
                 full[0, keep] = vals[0, :keep.size]
             else:
-                full = np.zeros((qn, rn, 3), np.float32)
+                # nothing kept: zero-fill with the key's known rank
+                # (colors are 3-channel, render_depth is per-ray)
+                tail = () if k == "render_depth" else (3,)
+                full = np.zeros((qn, rn) + tail, np.float32)
             out[k + suffix] = full
     return out
 

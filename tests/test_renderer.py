@@ -547,3 +547,38 @@ def test_init_diff_scale(rng):
     # -0.05 dB sphere / +0.03 dB blobs, docs/ARCHITECTURE.md)
     corr = np.corrcoef(g1.reshape(-1), g2.reshape(-1))[0, 1]
     assert corr > 0.8  # 64x64 scene -> 32x32 subgrid; 0.88 measured
+
+
+def test_probe_skip_zero_kept_shapes(rng):
+    """A frame where the probe keeps NOTHING zero-fills every output
+    with the right per-key rank (colors 3-channel, render_depth
+    per-ray)."""
+    import jax
+    from neuray_tpu.models.renderer import (
+        NeurayRenderer, RenderConfig, make_scene_encode_fn,
+        render_frame_probe_skip, render_frame_probe_focus)
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+
+    r = np.random.RandomState(7)
+    h = w = 16
+    ref = jax.tree.map(jnp.asarray, make_sphere_scene(r, 3, h, w))
+    que_np = make_query(r, h, w, rn=0, full_image=True)
+    que = {k: jnp.asarray(v) for k, v in que_np.items() if k != "imgs"}
+    cfg = RenderConfig(use_hierarchical_sampling=True, depth_sample_num=8,
+                       fine_depth_sample_num=8, ray_batch_num=64,
+                       probe_sample_num=4, use_vis=False,
+                       fine_use_vis=False, ray_mask_point_num=4,
+                       render_depth=True)
+    renderer = NeurayRenderer(cfg)
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ref, dict(que, coords=que["coords"][:, :64]), False)
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+    kb = ("pixel_colors_nr", "render_depth")
+    for drv in (render_frame_probe_skip, render_frame_probe_focus):
+        out = drv(renderer, params, ref_c, que, threshold=1e9,
+                  keep_base=kb)
+        assert out["kept_rays"] == 0
+        assert out["pixel_colors_nr_fine"].shape == (1, h * w, 3)
+        assert out["render_depth"].shape == (1, h * w)
+        assert (out["render_depth"] == 0).all()
