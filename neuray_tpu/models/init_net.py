@@ -130,8 +130,14 @@ class DepthInitNet(nn.Module):
                 imgs[:, ::s, ::s], depth_n[:, ::s, ::s], depth_range,
                 poses, Ks_s)
             rfn, h, w, _ = imgs.shape
-            diff = jax.image.resize(
-                diff_s, (rfn, h, w, diff_s.shape[-1]), "bilinear")
+            # corner-aligned upsample: subgrid pixel i sits at ORIGINAL
+            # pixel s*i, so output o samples input o/s (translation 0).
+            # jax.image.resize's half-pixel-center convention would
+            # shift every feature by ~0.5 original pixels.
+            diff = jax.image.scale_and_translate(
+                diff_s, (rfn, h, w, diff_s.shape[-1]), (1, 2),
+                scale=jnp.asarray([float(s), float(s)]),
+                translation=jnp.asarray([0.0, 0.0]), method="linear")
         else:
             diff = get_diff_feats(imgs, depth_n, depth_range, poses, Ks)
         feats = ResEncoder(dtype=self.dtype, name="res_net")(

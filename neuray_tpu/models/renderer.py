@@ -929,6 +929,29 @@ def _strided_focus_probe(probe_fn, params, ref_c, que, threshold: float,
     return keep_mask, near, far
 
 
+def _merge_kept_outputs(keep_base, kept_out, keep, keep_mask, qn, rn):
+    """Scatter kept-ray outputs back into full-frame arrays (zeros on
+    skipped rays). With nothing kept, the per-key trailing shape is
+    taken from a name map (colors 3-channel, render_depth per-ray) —
+    the kept path derives it from the actual outputs."""
+    import numpy as np
+
+    out = {"kept_rays": int(keep.size), "keep_mask": keep_mask}
+    tails = {"render_depth": ()}
+    for k in keep_base:
+        for suffix in ("", "_fine"):
+            if kept_out is not None:
+                vals = np.asarray(
+                    jax.device_get(kept_out[k + suffix]), np.float32)
+                full = np.zeros((qn, rn) + vals.shape[2:], np.float32)
+                full[0, keep] = vals[0, :keep.size]
+            else:
+                full = np.zeros((qn, rn) + tails.get(k, (3,)),
+                                np.float32)
+            out[k + suffix] = full
+    return out
+
+
 def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
                              que, threshold: float = 0.005,
                              bucket_chunks: int = 32,
@@ -950,9 +973,11 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
     narrow: per-ray samples drop from depth+fine(+use_all) to
     probe+focus+focus_fine(+use_all).
 
-    probe_out: optional precomputed (score_d, near_d, far_d) from
-    make_focus_probe_fn — the self-validating driver
-    (render_frame_probe_auto) probes once and reuses the result.
+    probe_out: optional precomputed probe result, reused by the
+    self-validating driver (render_frame_probe_auto) so the probe runs
+    once per frame: with probe_stride == 1 the (score_d, near_d,
+    far_d) tuple from make_focus_probe_fn; with probe_stride > 1 the
+    (keep_mask, near, far) tuple from _strided_focus_probe.
 
     probe_stride: probe every stride-th pixel in x and y (requires
     ``image_hw``; full-image row-major rays) — cuts the probe's taps
@@ -982,10 +1007,11 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
     qn, rn, _ = que["coords"].shape
     assert qn == 1, "skip-empty driver is per-query-view"
     if probe_stride > 1:
-        assert image_hw is not None and probe_out is None
-        keep_mask, near_d, far_d = _strided_focus_probe(
-            probe_fn, params, ref_c, que, threshold, image_hw,
-            probe_stride)
+        assert image_hw is not None
+        keep_mask, near_d, far_d = (
+            probe_out if probe_out is not None
+            else _strided_focus_probe(probe_fn, params, ref_c, que,
+                                      threshold, image_hw, probe_stride))
     else:
         score_d, near_d, far_d = (probe_out if probe_out is not None
                                   else probe_fn(params, ref_c, que))
@@ -1015,21 +1041,8 @@ def render_frame_probe_focus(renderer: NeurayRenderer, params, ref_c,
             near_k = jnp.take(near_d, kidx, axis=1)
             far_k = jnp.take(far_d, kidx, axis=1)
         kept_out = rays_fn(params, ref_c, que_k, near_k, far_k)
-    out = {"kept_rays": int(keep.size), "keep_mask": keep_mask}
-    for k in keep_base:
-        for suffix in ("", "_fine"):
-            if kept_out is not None:
-                vals = np.asarray(
-                    jax.device_get(kept_out[k + suffix]), np.float32)
-                full = np.zeros((qn, rn) + vals.shape[2:], np.float32)
-                full[0, keep] = vals[0, :keep.size]
-            else:
-                # nothing kept: zero-fill with the key's known rank
-                # (colors are 3-channel, render_depth is per-ray)
-                tail = () if k == "render_depth" else (3,)
-                full = np.zeros((qn, rn) + tail, np.float32)
-            out[k + suffix] = full
-    return out
+    return _merge_kept_outputs(keep_base, kept_out, keep, keep_mask,
+                               qn, rn)
 
 
 def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
@@ -1107,21 +1120,8 @@ def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
         que_k["coords"] = jnp.take(
             que["coords"], jnp.asarray(keep_padded), axis=1)
         kept_out = rays_fn(params, ref_c, que_k)
-    out = {"kept_rays": int(keep.size), "keep_mask": keep_mask}
-    for k in keep_base:
-        for suffix in ("", "_fine"):
-            if kept_out is not None:
-                vals = np.asarray(
-                    jax.device_get(kept_out[k + suffix]), np.float32)
-                full = np.zeros((qn, rn) + vals.shape[2:], np.float32)
-                full[0, keep] = vals[0, :keep.size]
-            else:
-                # nothing kept: zero-fill with the key's known rank
-                # (colors are 3-channel, render_depth is per-ray)
-                tail = () if k == "render_depth" else (3,)
-                full = np.zeros((qn, rn) + tail, np.float32)
-            out[k + suffix] = full
-    return out
+    return _merge_kept_outputs(keep_base, kept_out, keep, keep_mask,
+                               qn, rn)
 
 
 def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
@@ -1281,9 +1281,10 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
                  c, probe_sample_num=psn)))
         probe_out = None
         if use_stride:
-            keep_mask, _, _ = _strided_focus_probe(
+            probe_out = _strided_focus_probe(
                 make_focus_probe_fn(r), params, ref_c, que, threshold,
                 image_hw, probe_stride)
+            keep_mask = probe_out[0]
         else:
             if focus:
                 probe_fn = make_focus_probe_fn(r)

@@ -184,6 +184,7 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
 
     re = len(que_poses) if re == -1 else min(re, len(que_poses))
     accepted_psn = None      # auto skip-mode: set by the 1st-frame audit
+    auto_fallback = False    # ... or the audit rejected every probe size
     renderer_skip = renderer
     for qi in range(rb, re):
         if os.path.exists(f"{output_dir}/{qi}-nr_fine.jpg"):
@@ -232,7 +233,7 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
             p_stride = cfg.get("probe_stride", 1)
             p_dilate = cfg.get("probe_dilate", 1)
             if skip_mode in ("auto", "auto_focus") and \
-                    accepted_psn is None:
+                    accepted_psn is None and not auto_fallback:
                 # self-validating probe (audits skipped rays against
                 # the exact gate, escalates probe samples, two-phase
                 # fallback) — no per-scene probe_sample_num tuning.
@@ -254,9 +255,19 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                                 probe_sample_num=accepted_psn))
                     else:
                         renderer_skip = renderer
+                else:
+                    # the audit rejected every probe size for this
+                    # scene — go straight to the exact gate on the
+                    # remaining frames instead of re-running the
+                    # escalation ladder each time
+                    auto_fallback = True
                 print(f"auto probe: psn={out['probe_sample_num']} "
                       f"false_skip={out['false_skip_rate']:.4f} "
                       f"fallback={out['fallback']}", flush=True)
+            elif skip_mode in ("auto", "auto_focus") and auto_fallback:
+                out = render_frame_skip_empty(
+                    renderer, params, ref_c, que, threshold=skip_th,
+                    keep_base=tuple(keep_base))
             elif skip_mode in ("probe_focus", "auto_focus"):
                 out = render_frame_probe_focus(
                     renderer_skip, params, ref_c, que, threshold=skip_th,
