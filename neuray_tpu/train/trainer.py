@@ -96,6 +96,10 @@ class Prefetcher:
         self.stop.set()
         with self._cond:
             self._cond.notify_all()
+        # bounded join: an un-joined worker torn down inside native
+        # code (cv2 decode) at interpreter exit can abort the process
+        for t in self.threads:
+            t.join(timeout=2.0)
 
 
 class Logger:
