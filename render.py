@@ -31,16 +31,20 @@ from neuray_tpu.parallel.sharding import make_mesh, make_sharded_render_fn
 RAYS_PER_CALL = 327680
 
 
-def segmented_render(render_fn, params, ref, que, src=None, split=None):
+def segmented_render(render_fn, params, ref, que, src=None, split=None,
+                     ref_c=None):
     """Render a full frame in bounded-ray device calls.
 
     With ``split=(encode_fn, rays_fn)`` (single-device path) the scene
     is encoded ONCE and the encoded ref is reused by every segment —
     the conv encoders + gather-map build are per-scene work, not
-    per-segment work."""
+    per-segment work. Pass ``ref_c`` (a previous ``encode_fn`` result
+    for the same refs) to skip the encode entirely — the CLI caches it
+    across query poses that select the same working views."""
     if split is not None:
         encode_fn, rays_fn = split
-        ref_c = encode_fn(params, ref, src)
+        if ref_c is None:
+            ref_c = encode_fn(params, ref, src)
 
         def call(sub):
             return rays_fn(params, ref_c, sub)
@@ -186,30 +190,43 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
     accepted_psn = None      # auto skip-mode: set by the 1st-frame audit
     auto_fallback = False    # ... or the audit rejected every probe size
     renderer_skip = renderer
+    # per-scene encode cache: working views are selected per query pose
+    # (nearest cameras), so consecutive poses usually pick the SAME ref
+    # set — the conv encoders + gather-map build (and the src/union
+    # info assembly) are then reusable verbatim. The encode is a
+    # deterministic function of (params, ref, src), so this changes
+    # nothing numerically. Keyed by the ref id tuple.
+    enc_key = None
+    ref = src = ref_c = None
     for qi in range(rb, re):
         if os.path.exists(f"{output_dir}/{qi}-nr_fine.jpg"):
             continue
         ref_ids = ref_ids_list[qi]
-        src = None
-        if use_src_imgs:
-            # cost-volume init: the union of refs + their source views
-            # (reference render.py:129-137)
-            union_info, ref_cv_idx, ref_real_idx = \
-                build_src_imgs_info_select(database, ref_ids, ref_ids_all,
-                                           cv_nn_num, pad_interval)
-            ref_info = imgs_info_slice(union_info, ref_real_idx)
-            ref_info["nn_ids"] = ref_cv_idx.astype(np.int64)
-            src = jax.tree.map(jnp.asarray, {
-                k: union_info[k]
-                for k in ("imgs", "poses", "Ks", "depth_range")})
-        else:
-            ref_info = build_imgs_info(database, list(ref_ids),
-                                       pad_interval, True,
-                                       replace_none_depth=True)
+        key = tuple(str(i) for i in ref_ids)
+        if key != enc_key:
+            src = None
+            if use_src_imgs:
+                # cost-volume init: the union of refs + their source
+                # views (reference render.py:129-137)
+                union_info, ref_cv_idx, ref_real_idx = \
+                    build_src_imgs_info_select(database, ref_ids,
+                                               ref_ids_all, cv_nn_num,
+                                               pad_interval)
+                ref_info = imgs_info_slice(union_info, ref_real_idx)
+                ref_info["nn_ids"] = ref_cv_idx.astype(np.int64)
+                src = jax.tree.map(jnp.asarray, {
+                    k: union_info[k]
+                    for k in ("imgs", "poses", "Ks", "depth_range")})
+            else:
+                ref_info = build_imgs_info(database, list(ref_ids),
+                                           pad_interval, True,
+                                           replace_none_depth=True)
+            ref = jax.tree.map(jnp.asarray, ref_info)
+            ref_c = None  # encoded lazily by the skip path below
+            enc_key = key
         que_info = build_render_imgs_info(
             que_poses[qi], que_Ks[qi], que_shapes[qi], que_depth_ranges[qi])
         h, w = que_info.pop("shape")
-        ref = jax.tree.map(jnp.asarray, ref_info)
         que = jax.tree.map(jnp.asarray, que_info)
         if use_skip_empty:
             # empty-ray skip (cfg: skip_empty_rays). skip_mode=probe
@@ -222,7 +239,8 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
             # tools/check_skip_quality.py). Kept rays are bit-identical
             # to the full render in both modes.
             encode_fn_s, _ = split
-            ref_c = encode_fn_s(params, ref, src)
+            if ref_c is None:
+                ref_c = encode_fn_s(params, ref, src)
             keep_base = ["pixel_colors_nr"]
             if render_cfg.use_dr_prediction:
                 keep_base.append("pixel_colors_dr")
@@ -283,8 +301,10 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                     renderer, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base))
         else:
+            if split is not None and ref_c is None:
+                ref_c = split[0](params, ref, src)
             out = segmented_render(render_fn, params, ref, que, src,
-                                   split)
+                                   split, ref_c=ref_c)
         save_renderings(output_dir, qi, out, h, w)
         if render_depth:
             save_depth(output_dir, qi, out, h, w, que_depth_ranges[qi])
