@@ -66,11 +66,14 @@ def _total_loss_torch(log_info):
 
 
 def _grad_state_dict(model):
-    """Parameter grads keyed like the state_dict (zeros where unused)."""
+    """Parameter grads keyed like the state_dict: zeros for params with
+    no grad AND for buffers (BN running stats etc.), so the converter
+    sees every key it expects."""
+    grads = {k: p.grad for k, p in model.named_parameters()}
     out = {}
-    for k, p in model.named_parameters():
-        g = p.grad
-        out[k] = (np.zeros(p.shape, np.float32) if g is None
+    for k, v in model.state_dict().items():
+        g = grads.get(k)
+        out[k] = (np.zeros(v.shape, np.float32) if g is None
                   else g.detach().numpy())
     return out
 
@@ -195,9 +198,13 @@ def test_loss_value_parity(ref_modules):
 # 2. gen train-step gradient parity (depth init)
 # ---------------------------------------------------------------------------
 
-def _gen_train_setup(ref_modules, monkeypatch, seed=13):
+def _gen_train_setup(ref_modules, monkeypatch, seed=13,
+                     hierarchical=True):
     """Shared fixture logic: reference gen model + matched batch, with
-    all train-path RNG pinned. Returns everything both sides need."""
+    all train-path RNG pinned. Returns everything both sides need.
+    hierarchical=False drops the fine pass (and with it the
+    inverse-CDF resample whose positional f32 chaos dominates
+    multi-step drift — see test_training_trajectory_equivalence)."""
     import sys
     sys.path.insert(0, REF) if REF not in sys.path else None
     from network.loss import RenderLoss, DepthLoss
@@ -207,7 +214,10 @@ def _gen_train_setup(ref_modules, monkeypatch, seed=13):
     cfg = dict(CFG_TORCH)
     cfg["use_depth_loss"] = True
     cfg["depth_loss_coords_num"] = 24
-    cfg["use_nr_fine_loss"] = True
+    if hierarchical:
+        cfg["use_nr_fine_loss"] = True
+    else:
+        cfg["use_hierarchical_sampling"] = False
 
     torch.manual_seed(seed)
     ref_model = ref_modules["renderer"].NeuralRayGenRenderer(
@@ -265,6 +275,12 @@ def _jax_gen_loss_fn(cfg, renderer, ref_np, que_np, coords_xy):
     return total
 
 
+def _strip_init_net(tree):
+    p = dict(tree["params"])
+    p.pop("init_net", None)
+    return {"params": p}
+
+
 def test_gen_train_grad_parity(ref_modules, monkeypatch):
     """d(loss_total)/d(params) through the FULL train forward (coarse+
     fine render, ray-masked render loss, depth-mean head) matches the
@@ -305,3 +321,304 @@ def test_gen_train_grad_parity(ref_modules, monkeypatch):
 
     # gradients agree per-leaf (relative norm)
     _compare_grad_trees(grads, want_grads, tol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# 3. frozen-MVSNet boundary (cost-volume init, reference init_net.py:214-217)
+# ---------------------------------------------------------------------------
+
+def test_cv_train_grad_parity_frozen_mvsnet(ref_modules, monkeypatch):
+    """Gradient parity for the cost-volume gen train step, certifying
+    the freeze boundary: the reference sets requires_grad=False on every
+    MVSNet parameter (reference init_net.py:214-217); the repo
+    stop_gradients the MVSNet output (models/cost_volume.py:104). Both
+    must yield EXACTLY zero MVSNet grads and matching grads everywhere
+    else (res_net / volume / depth / out convs stay trainable).
+
+    Coarse-only on purpose: the fine inverse-CDF resample's gradient
+    path is certified by test_gen_train_grad_parity; with it enabled
+    here, the CV init's longer f32 cascade perturbs the resample
+    POSITIONS by ~1e-4, which first-order-amplifies into a uniform
+    ~1.5e-2 relative error on every grad leaf (measured) — pure
+    rounding chaos that would force a tolerance too loose to certify
+    the CV-specific surface. Without it the comparison is tight."""
+    import sys
+    sys.path.insert(0, REF) if REF not in sys.path else None
+    from network.loss import RenderLoss
+    from tests.test_reference_parity_cv import (
+        _cv_scene, _to_torch_src, _neutralize_cuda)
+    from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+    from neuray_tpu.utils.torch_convert import convert_gen_state_dict
+    from neuray_tpu.train.losses import build_losses
+
+    _neutralize_cuda(monkeypatch)
+
+    cfg = dict(CFG_TORCH)
+    cfg["use_hierarchical_sampling"] = False
+    cfg["init_net_type"] = "cost_volume"
+    cfg["init_net_cfg"] = {"cost_volume_sn": 16}
+
+    torch.manual_seed(23)
+    ref_model = ref_modules["renderer"].NeuralRayGenRenderer(
+        dict(cfg)).train()
+    assert all(not p.requires_grad
+               for p in ref_model.init_net.mvsnet.parameters())
+
+    # scene with src views + nn_ids; que keeps imgs for the gt branch
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+    rng0 = np.random.RandomState(37)
+    ref_np = make_sphere_scene(rng0, 3, 32, 32)
+    src_np = make_sphere_scene(rng0, 3, 32, 32)
+    ref_np["nn_ids"] = np.stack(
+        [rng0.choice(3, 2, replace=False) for _ in range(3)]).astype(
+        np.int64)
+    que_np = make_query(rng0, 32, 32, 16)
+
+    ref_t = _to_torch_ref(ref_np)
+    ref_t["nn_ids"] = torch.from_numpy(ref_np["nn_ids"])
+    que_t = _to_torch_que(que_np)
+    que_t["imgs"] = que_t["imgs"].permute(0, 3, 1, 2).contiguous()
+    data_t = {"ref_imgs_info": ref_t, "que_imgs_info": que_t,
+              "src_imgs_info": _to_torch_src(src_np),
+              "scene_name": "llff/fern"}
+
+    outputs = ref_model(data_t)
+    log = RenderLoss(cfg)(outputs, data_t, 0)
+    total_t = _total_loss_torch(log)
+    total_t.backward()
+    assert all(p.grad is None
+               for p in ref_model.init_net.mvsnet.parameters())
+
+    kw = dict(use_hierarchical=False, use_vis=False,
+              init_net_type="cost_volume")
+    params = convert_gen_state_dict(
+        {k: v.detach().numpy() for k, v in ref_model.state_dict().items()},
+        **kw)
+    want_grads = convert_gen_state_dict(_grad_state_dict(ref_model), **kw)
+
+    renderer = NeurayRenderer(RenderConfig.from_cfg(cfg))
+    loss_fn = build_losses({**cfg, "loss": ["render"]})
+    ref_j = jax.tree.map(jnp.asarray, ref_np)
+    que_j = jax.tree.map(jnp.asarray, que_np)
+    src_j = jax.tree.map(jnp.asarray, src_np)
+
+    def total(params):
+        outputs = renderer.apply(
+            params, ref_j, que_j, True, None, src_j,
+            rngs={"sample": jax.random.PRNGKey(0)})
+        losses = loss_fn(outputs, {})
+        return sum(jnp.mean(v) for k, v in losses.items()
+                   if k.startswith("loss"))
+
+    with jax.default_matmul_precision("highest"):
+        tot_j, grads = jax.value_and_grad(total)(params)
+
+    np.testing.assert_allclose(float(tot_j), float(total_t.detach()),
+                               atol=1e-4, rtol=0)
+
+    # the freeze boundary: every repo-side MVSNet grad is EXACTLY zero
+    mv_grads = grads["params"]["init_net"]["mvsnet"]
+    leaves = jax.tree_util.tree_leaves(mv_grads)
+    assert leaves and all(not np.asarray(g).any() for g in leaves), \
+        "gradient leaked through the frozen MVSNet boundary"
+
+    _compare_grad_trees(grads, want_grads, tol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# 4. FT gradient routes (reference renderer.py:436-525 statefulness)
+# ---------------------------------------------------------------------------
+
+def test_ft_train_grad_parity(ref_modules, monkeypatch):
+    """FT train-step gradients: d(loss)/d(raw ray_feats) for BOTH the
+    reference-view route (vis_encoder + projection gather, reference
+    renderer.py:230-231) and the query-view self-hit-prob route behind
+    the consistency loss (renderer.py:233-235 + loss.py:31 detach).
+    The reference FT step is NeuralRayBaseRenderer.render with raw
+    ray_feats injected into imgs_info (renderer.py:476-490); we drive
+    that exact surface on both sides with leaf ray-feat tensors."""
+    import sys
+    sys.path.insert(0, REF) if REF not in sys.path else None
+    from network.loss import RenderLoss, ConsistencyLoss
+    from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+    from neuray_tpu.utils.torch_convert import convert_gen_state_dict
+    from neuray_tpu.train.losses import build_losses
+
+    _deterministic_fine_sampling(monkeypatch, ref_modules)
+
+    cfg = dict(CFG_TORCH)
+    cfg["use_self_hit_prob"] = True
+    cfg["use_nr_fine_loss"] = True
+
+    torch.manual_seed(29)
+    ref_model = ref_modules["renderer"].NeuralRayGenRenderer(
+        dict(cfg)).train()
+
+    from neuray_tpu.data.synthetic import make_sphere_scene
+    rng0 = np.random.RandomState(41)
+    rfn, h, w, rn, fdim = 3, 32, 32, 16, 32
+    fh, fw = h // 4, w // 4
+    ref_np = make_sphere_scene(rng0, rfn, h, w)
+    rf_ref_np = rng0.randn(rfn, fh, fw, fdim).astype(np.float32)
+    rf_que_np = rng0.randn(1, fh, fw, fdim).astype(np.float32)
+    coords = np.stack([rng0.uniform(0, w - 1, rn),
+                       rng0.uniform(0, h - 1, rn)], -1)[None].astype(
+        np.float32)
+    qi = 1  # query view = ref view 1, FT style
+
+    # ---- reference: render() with leaf raw ray_feats --------------
+    rf_ref_t = torch.from_numpy(
+        np.transpose(rf_ref_np, (0, 3, 1, 2))).clone().requires_grad_()
+    rf_que_t = torch.from_numpy(
+        np.transpose(rf_que_np, (0, 3, 1, 2))).clone().requires_grad_()
+    ref_t = _to_torch_ref(ref_np)
+    ref_t.pop("depth")
+    ref_t["ray_feats"] = rf_ref_t
+    que_t = {
+        "imgs": ref_t["imgs"][qi:qi + 1],
+        "coords": torch.from_numpy(coords),
+        "poses": torch.from_numpy(ref_np["poses"][qi:qi + 1]).float(),
+        "Ks": torch.from_numpy(ref_np["Ks"][qi:qi + 1]).float(),
+        "depth_range": torch.from_numpy(
+            ref_np["depth_range"][qi:qi + 1]).float(),
+        "ray_feats": rf_que_t,
+    }
+    outputs = ref_model.render(que_t, ref_t, True)
+    assert "hit_prob_self" in outputs and "hit_prob_self_fine" in outputs
+    log = {}
+    for loss in (RenderLoss(cfg), ConsistencyLoss(cfg)):
+        log.update(loss(outputs, {}, 0))
+    total_t = _total_loss_torch(log)
+    total_t.backward()
+
+    want_net = convert_gen_state_dict(
+        _grad_state_dict(ref_model),
+        use_hierarchical=True, use_vis=False, fine_use_vis=False)
+    want = {"net": _strip_init_net(want_net),
+            "rf_ref": np.transpose(rf_ref_t.grad.numpy(), (0, 2, 3, 1)),
+            "rf_que": np.transpose(rf_que_t.grad.numpy(), (0, 2, 3, 1))}
+
+    # ---- repo: the FT train-step loss (models/ft.py:224-250) ------
+    net_params = _strip_init_net(convert_gen_state_dict(
+        {k: v.detach().numpy() for k, v in ref_model.state_dict().items()},
+        use_hierarchical=True, use_vis=False, fine_use_vis=False))
+    renderer = NeurayRenderer(RenderConfig.from_cfg(
+        {**cfg, "init_net_type": ""}))
+    loss_fn = build_losses({**cfg, "loss": ["render", "consist"]})
+
+    ref_base = {k: jnp.asarray(ref_np[k])
+                for k in ("imgs", "poses", "Ks", "depth_range")}
+    que_j = {
+        "imgs": ref_base["imgs"][qi:qi + 1],
+        "coords": jnp.asarray(coords),
+        "poses": ref_base["poses"][qi:qi + 1],
+        "Ks": ref_base["Ks"][qi:qi + 1],
+        "depth_range": ref_base["depth_range"][qi:qi + 1],
+    }
+
+    def total(p):
+        img_feats, ray_feats = renderer.apply(
+            p["net"], ref_base, p["rf_ref"],
+            method=NeurayRenderer.encode_scene)
+        ref_c = dict(ref_base)
+        ref_c["img_feats"] = img_feats
+        ref_c["ray_feats"] = ray_feats
+        ref_c = renderer.build_gather_cache(ref_c)
+        que_c = dict(que_j)
+        _, que_rf = renderer.apply(
+            p["net"], {"imgs": que_j["imgs"]}, p["rf_que"],
+            method=NeurayRenderer.encode_scene)
+        que_c["ray_feats"] = que_rf
+        outputs = renderer.apply(
+            p["net"], ref_c, que_c, True,
+            method=NeurayRenderer.render_chunk,
+            rngs={"sample": jax.random.PRNGKey(0)})
+        losses = loss_fn(outputs, {})
+        assert "loss_prob" in losses and "loss_prob_fine" in losses
+        return sum(jnp.mean(v) for k, v in losses.items()
+                   if k.startswith("loss"))
+
+    p0 = {"net": net_params, "rf_ref": jnp.asarray(rf_ref_np),
+          "rf_que": jnp.asarray(rf_que_np)}
+    with jax.default_matmul_precision("highest"):
+        tot_j, grads = jax.value_and_grad(total)(p0)
+
+    np.testing.assert_allclose(float(tot_j), float(total_t.detach()),
+                               atol=1e-4, rtol=0)
+    # the ray_feats grads are the FT-specific surface: nonzero on both
+    # routes (a dead route would pass a plain compare as zeros==zeros)
+    assert np.abs(want["rf_ref"]).max() > 0
+    assert np.abs(want["rf_que"]).max() > 0
+    _compare_grad_trees(grads, want, tol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# 5. 5-step training-trajectory equivalence (reference Adam vs optax)
+# ---------------------------------------------------------------------------
+
+def test_training_trajectory_equivalence(ref_modules, monkeypatch):
+    """Five full train steps from identical init on identical batches:
+    reference torch.optim.Adam (train/trainer.py:49-53) vs optax.adam,
+    same hyperparameters — certifies the optimizer wiring end-to-end,
+    not just one gradient.
+
+    Tolerances are set by MEASURED f32 chaos, not wishful thinking:
+    Adam's normalized update steps a full +-lr on every coordinate
+    whose true gradient sits at the frameworks' rounding noise floor,
+    so cross-framework trajectories diverge intrinsically — measured
+    (coarse-only, lr=1e-4): step 1 agrees to 1e-6, step 2 to 4e-4,
+    then 1.4e-2 RELATIVE by step 3 and stable ~1e-2 after. The
+    discriminating window is steps 1-2 at atol 1e-3: one Adam update
+    separates them, and a real wiring bug (missing bias correction =
+    3.2x first-step size; wrong beta/eps) shifts step 2 by ~the whole
+    per-step decrease (~0.05), 50x the tolerance. Steps 3-5 get a 3%
+    relative envelope + strict monotone decrease — a drift bound, not
+    a parity claim."""
+    import optax
+    from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
+    from neuray_tpu.utils.torch_convert import convert_gen_state_dict
+
+    (cfg, ref_model, ref_np, que_np, coords_xy,
+     data_t, losses_t) = _gen_train_setup(ref_modules, monkeypatch,
+                                          seed=17, hierarchical=False)
+
+    lr = 1e-4
+    init_sd = {k: v.detach().clone().numpy()
+               for k, v in ref_model.state_dict().items()}
+    opt_t = torch.optim.Adam(ref_model.parameters(), lr=lr)
+    traj_t = []
+    for _ in range(5):
+        opt_t.zero_grad()
+        outputs = ref_model(data_t)
+        log = {}
+        for loss in losses_t:
+            log.update(loss(outputs, data_t, 0))
+        total = _total_loss_torch(log)
+        total.backward()
+        opt_t.step()
+        traj_t.append(float(total.detach()))
+
+    params = convert_gen_state_dict(
+        init_sd, use_hierarchical=False, use_vis=False)
+
+    renderer = NeurayRenderer(RenderConfig.from_cfg(cfg))
+    total_fn = _jax_gen_loss_fn(cfg, renderer, ref_np, que_np, coords_xy)
+    opt_j = optax.adam(lr)
+    opt_state = opt_j.init(params)
+    traj_j = []
+    with jax.default_matmul_precision("highest"):
+        grad_fn = jax.value_and_grad(total_fn, has_aux=True)
+        for _ in range(5):
+            (tot, _), grads = grad_fn(params)
+            updates, opt_state = opt_j.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            traj_j.append(float(tot))
+
+    assert traj_t[-1] < traj_t[0] and traj_j[-1] < traj_j[0]
+    # the one-Adam-update window: tight
+    np.testing.assert_allclose(traj_j[:2], traj_t[:2], atol=1e-3,
+                               rtol=0,
+                               err_msg=f"jax {traj_j} vs torch {traj_t}")
+    # the chaos envelope for the rest
+    np.testing.assert_allclose(traj_j, traj_t, rtol=3e-2, atol=0,
+                               err_msg=f"jax {traj_j} vs torch {traj_t}")
