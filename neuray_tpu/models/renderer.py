@@ -1275,6 +1275,17 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
     psn = c.probe_sample_num
     use_stride = focus and probe_stride > 1 and image_hw is not None
     info = {"fallback": None}
+    # probe-fn builders: on a multi-device mesh the probe itself shards
+    # the ray axis (parallel/sharding.py) so the escalation ladder runs
+    # at mesh speed, matching the final render phase it gates
+    if mesh is not None and mesh.devices.size > 1:
+        from neuray_tpu.parallel.sharding import (
+            make_sharded_probe_fn, make_sharded_focus_probe_fn)
+        _focus_probe = lambda rr: make_sharded_focus_probe_fn(rr, mesh)
+        _plain_probe = lambda rr: make_sharded_probe_fn(rr, mesh)
+    else:
+        _focus_probe = make_focus_probe_fn
+        _plain_probe = make_probe_fn
     while True:
         r = (renderer if psn == c.probe_sample_num
              else NeurayRenderer(dataclasses.replace(
@@ -1282,16 +1293,16 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
         probe_out = None
         if use_stride:
             probe_out = _strided_focus_probe(
-                make_focus_probe_fn(r), params, ref_c, que, threshold,
+                _focus_probe(r), params, ref_c, que, threshold,
                 image_hw, probe_stride)
             keep_mask = probe_out[0]
         else:
             if focus:
-                probe_fn = make_focus_probe_fn(r)
+                probe_fn = _focus_probe(r)
                 probe_out = probe_fn(params, ref_c, que)
                 score_d = probe_out[0]
             else:
-                probe_fn = make_probe_fn(r)
+                probe_fn = _plain_probe(r)
                 probe_out = probe_fn(params, ref_c, que)
                 score_d = probe_out
             score = np.asarray(jax.device_get(score_d))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from neuray_tpu.utils.config import load_cfg
 from neuray_tpu.models.renderer import (
-    NeurayRenderer, RenderConfig, make_render_fn, make_scene_encode_fn,
+    NeurayRenderer, RenderConfig, make_scene_encode_fn,
     make_ray_render_fn, render_frame_skip_empty,
     render_frame_probe_skip, render_frame_probe_focus,
     render_frame_probe_auto)
@@ -164,22 +164,32 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
     Path(output_dir).mkdir(exist_ok=True, parents=True)
 
     mesh = make_mesh()
+    multi = mesh.devices.size > 1
     keep = ["pixel_colors_nr", "pixel_colors_nr_fine"]
     if render_depth:
         keep += ["render_depth", "render_depth_fine"]
-    split = None
-    if mesh.devices.size > 1:
-        render_fn = make_sharded_render_fn(renderer, mesh, tuple(keep))
+    # the scene encode is one (replicated) program either way; the ray
+    # phase shards over the mesh when devices > 1 — segments and query
+    # poses with the same working views share one encode in both cases
+    encode_fn = make_scene_encode_fn(renderer)
+    if multi:
+        rays_fn = make_sharded_render_fn(renderer, mesh, tuple(keep),
+                                         pre_encoded=True)
     else:
-        # single device: the plain jit path avoids the manual-partition
-        # region overhead; split lets segments share one scene encode
-        render_fn = make_render_fn(renderer, tuple(keep))
-        split = (make_scene_encode_fn(renderer),
-                 make_ray_render_fn(renderer, tuple(keep)))
+        rays_fn = make_ray_render_fn(renderer, tuple(keep))
+    split = (encode_fn, rays_fn)
 
+    skip_mode = cfg.get("skip_mode", "two_phase")
     use_skip_empty = (cfg.get("skip_empty_rays", False)
-                      and split is not None
                       and render_cfg.use_hierarchical_sampling)
+    if use_skip_empty and multi and skip_mode == "two_phase":
+        # the exact two-phase gate is a single-device driver; on a mesh
+        # the sharded full render is the exact path — announce the
+        # change instead of silently dropping the flag
+        print("skip_mode=two_phase is single-device; mesh render uses "
+              "the exact sharded full render instead "
+              "(probe/focus/auto modes DO shard)", flush=True)
+        use_skip_empty = False
 
     use_src_imgs = cfg.get("use_src_imgs", False) or \
         render_cfg.init_net_type == "cost_volume"
@@ -187,8 +197,8 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
     pad_interval = cfg.get("ref_pad_interval", 16)
 
     re = len(que_poses) if re == -1 else min(re, len(que_poses))
-    accepted_psn = None      # auto skip-mode: set by the 1st-frame audit
-    auto_fallback = False    # ... or the audit rejected every probe size
+    accepted_psn = None      # auto skip-mode: escalated sticky-up by the
+    auto_fallback = False    # per-frame audit / audit rejected all sizes
     renderer_skip = renderer
     # per-scene encode cache: working views are selected per query pose
     # (nearest cameras), so consecutive poses usually pick the SAME ref
@@ -238,50 +248,58 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
             # estimate (speed/quality trade in
             # tools/check_skip_quality.py). Kept rays are bit-identical
             # to the full render in both modes.
-            encode_fn_s, _ = split
             if ref_c is None:
-                ref_c = encode_fn_s(params, ref, src)
+                ref_c = encode_fn(params, ref, src)
             keep_base = ["pixel_colors_nr"]
             if render_cfg.use_dr_prediction:
                 keep_base.append("pixel_colors_dr")
             if render_depth:
                 keep_base.append("render_depth")
-            skip_mode = cfg.get("skip_mode", "two_phase")
+            skip_mesh = mesh if multi else None
             skip_th = cfg.get("skip_empty_threshold", 0.05)
             p_stride = cfg.get("probe_stride", 1)
             p_dilate = cfg.get("probe_dilate", 1)
-            if skip_mode in ("auto", "auto_focus") and \
-                    accepted_psn is None and not auto_fallback:
+            if skip_mode in ("auto", "auto_focus") and not auto_fallback:
                 # self-validating probe (audits skipped rays against
                 # the exact gate, escalates probe samples, two-phase
                 # fallback) — no per-scene probe_sample_num tuning.
-                # The audit runs on the FIRST frame only; later frames
-                # of the same scene reuse the accepted setting (the
-                # probe failure mode is a scene property, not per-pose)
+                # The audit runs on EVERY frame (it costs ~2k coarse
+                # rays, ~0.3% of a frame): a trajectory whose later
+                # poses reveal geometry the first frame did not
+                # (thin structures between probe samples) re-escalates
+                # instead of inheriting a stale accept. The accepted
+                # probe size is sticky-UP: later frames START from it
+                # so stable scenes never re-climb the ladder.
                 out = render_frame_probe_auto(
-                    renderer, params, ref_c, que, threshold=skip_th,
+                    renderer_skip, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base), image_hw=(h, w),
                     dilate=p_dilate, focus=skip_mode == "auto_focus",
                     tol=cfg.get("skip_auto_tol", 0.02),
-                    probe_stride=p_stride)
+                    probe_stride=p_stride, mesh=skip_mesh)
                 if out["fallback"] is None:
-                    accepted_psn = out["probe_sample_num"]
-                    if accepted_psn != render_cfg.probe_sample_num:
+                    if out["probe_sample_num"] != \
+                            renderer_skip.cfg.probe_sample_num:
+                        accepted_psn = out["probe_sample_num"]
                         renderer_skip = NeurayRenderer(
                             dataclasses.replace(
                                 render_cfg,
                                 probe_sample_num=accepted_psn))
-                    else:
-                        renderer_skip = renderer
                 else:
                     # the audit rejected every probe size for this
-                    # scene — go straight to the exact gate on the
-                    # remaining frames instead of re-running the
-                    # escalation ladder each time
+                    # frame — exact gate for the remaining frames
+                    # instead of re-running the escalation ladder
                     auto_fallback = True
-                print(f"auto probe: psn={out['probe_sample_num']} "
+                print(f"auto probe frame {qi}: "
+                      f"psn={out['probe_sample_num']} "
                       f"false_skip={out['false_skip_rate']:.4f} "
                       f"fallback={out['fallback']}", flush=True)
+                with open(f"{output_dir}/auto_audit.jsonl", "a") as f:
+                    import json
+                    f.write(json.dumps({
+                        "frame": qi,
+                        "probe_sample_num": out["probe_sample_num"],
+                        "false_skip_rate": out["false_skip_rate"],
+                        "fallback": out["fallback"]}) + "\n")
             elif skip_mode in ("auto", "auto_focus") and auto_fallback:
                 out = render_frame_skip_empty(
                     renderer, params, ref_c, que, threshold=skip_th,
@@ -290,20 +308,21 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                 out = render_frame_probe_focus(
                     renderer_skip, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base), image_hw=(h, w),
-                    dilate=p_dilate, probe_stride=p_stride)
+                    dilate=p_dilate, probe_stride=p_stride,
+                    mesh=skip_mesh)
             elif skip_mode in ("probe", "auto"):
                 out = render_frame_probe_skip(
                     renderer_skip, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base), image_hw=(h, w),
-                    dilate=p_dilate)
+                    dilate=p_dilate, mesh=skip_mesh)
             else:
                 out = render_frame_skip_empty(
                     renderer, params, ref_c, que, threshold=skip_th,
                     keep_base=tuple(keep_base))
         else:
-            if split is not None and ref_c is None:
-                ref_c = split[0](params, ref, src)
-            out = segmented_render(render_fn, params, ref, que, src,
+            if ref_c is None:
+                ref_c = encode_fn(params, ref, src)
+            out = segmented_render(None, params, ref, que, src,
                                    split, ref_c=ref_c)
         save_renderings(output_dir, qi, out, h, w)
         if render_depth:

@@ -97,14 +97,37 @@ def main():
     parser.add_argument("--probe_stride", type=int, default=1,
                         help="with --skip_empty focus modes: probe "
                              "subgrid stride (cfg: probe_stride)")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="run the CLI on an N-device virtual CPU "
+                             "mesh (0 = whatever backend is default) — "
+                             "proves render.py takes the SHARDED "
+                             "full/probe/focus paths end-to-end")
     flags = parser.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="neuray_selfcheck_")
     os.environ["NEURAY_DATA_ROOT"] = os.path.join(tmp, "data")
     os.chdir(tmp)
 
+    if flags.devices:
+        xf = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in xf:
+            os.environ["XLA_FLAGS"] = (
+                f"{xf} --xla_force_host_platform_device_count="
+                f"{flags.devices}").strip()
+
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    if flags.devices:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_test_cache")
+        n = len(jax.devices())
+        assert n == flags.devices, \
+            f"wanted {flags.devices} CPU devices, got {n} (jax already " \
+            f"initialized?)"
+        print(f"selfcheck on {n}-device virtual CPU mesh", flush=True)
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from neuray_tpu.data import database as D
