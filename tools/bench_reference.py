@@ -170,6 +170,138 @@ def bench_ours_cpu(ref_np, que_np, rays):
     return rays / dt
 
 
+def _timed_steps(step_fn, warmup=1, reps=2):
+    for _ in range(warmup):
+        step_fn()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        step_fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_reference_train_gen(rays=512, size=512, views=8):
+    """Time the reference's gen-training step (forward + RenderLoss +
+    DepthLoss + backward + Adam; reference train/trainer.py:104-135) on
+    torch CPU at the row-5 BASELINE.md workload shape: 512 rays,
+    8 ref views, 512x512 images, 64+64 samples, depth loss (default
+    8192 depth-loss coords, renderer.py:258-261)."""
+    import torch
+    torch.manual_seed(0)
+    ref_renderer = _setup_reference()
+    from network.loss import RenderLoss, DepthLoss
+
+    cfg = dict(CFG)
+    cfg["use_depth_loss"] = True
+    cfg["use_nr_fine_loss"] = True
+    model = ref_renderer.NeuralRayGenRenderer(dict(cfg)).train()
+    losses = [RenderLoss(cfg), DepthLoss(cfg)]
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+
+    from neuray_tpu.data.synthetic import make_sphere_scene, make_query
+    rng = np.random.RandomState(0)
+    ref_np = make_sphere_scene(rng, views, size, size)
+    que_np = make_query(rng, size, size, rays)
+
+    ref_t = {
+        "imgs": torch.from_numpy(
+            np.transpose(ref_np["imgs"], (0, 3, 1, 2))).float(),
+        "poses": torch.from_numpy(ref_np["poses"]).float(),
+        "Ks": torch.from_numpy(ref_np["Ks"]).float(),
+        "depth_range": torch.from_numpy(ref_np["depth_range"]).float(),
+        "depth": torch.from_numpy(
+            np.transpose(ref_np["depth"], (0, 3, 1, 2))).float(),
+    }
+    ref_t["true_depth"] = ref_t["depth"].clone()
+    que_t = {k: torch.from_numpy(np.asarray(v)).float()
+             for k, v in que_np.items()}
+    que_t["imgs"] = que_t["imgs"].permute(0, 3, 1, 2).contiguous()
+    data = {"ref_imgs_info": ref_t, "que_imgs_info": que_t,
+            "scene_name": "llff/fern"}  # no 'eval' key -> is_train
+
+    def step():
+        opt.zero_grad()
+        outputs = model(data)
+        log = {}
+        for loss in losses:
+            log.update(loss(outputs, data, 0))
+        total = sum(torch.mean(v) for k, v in log.items()
+                    if k.startswith("loss"))
+        total.backward()
+        opt.step()
+        return float(total.detach())
+
+    dt = _timed_steps(step)
+    print(f"reference gen train step (torch cpu): {dt:.2f}s/step "
+          f"-> {1.0 / dt:.4f} steps/s", flush=True)
+    return 1.0 / dt
+
+
+def bench_reference_train_ft(rays=256, size=64, views=8, samples=16):
+    """Time the reference's FT-style train step (render with leaf
+    ray_feats parameters + RenderLoss + ConsistencyLoss + backward +
+    Adam over [network, ray_feats]; reference renderer.py:476-525,
+    loss.py:18-44) at the selfcheck_ft workload shape (64x64, 256 rays,
+    16+16 samples) so the repo's measured FtTrainer steps/s has a
+    same-shape reference number."""
+    import torch
+    torch.manual_seed(0)
+    ref_renderer = _setup_reference()
+    from network.loss import RenderLoss, ConsistencyLoss
+
+    cfg = dict(CFG)
+    cfg["depth_sample_num"] = samples
+    cfg["fine_depth_sample_num"] = samples
+    cfg["agg_net_cfg"] = {"sample_num": samples}
+    cfg["fine_agg_net_cfg"] = {"sample_num": samples}
+    cfg["use_self_hit_prob"] = True
+    cfg["use_nr_fine_loss"] = True
+    model = ref_renderer.NeuralRayGenRenderer(dict(cfg)).train()
+    losses = [RenderLoss(cfg), ConsistencyLoss(cfg)]
+
+    from neuray_tpu.data.synthetic import make_sphere_scene
+    rng = np.random.RandomState(0)
+    ref_np = make_sphere_scene(rng, views, size, size)
+    fh, fw, fdim = size // 4, size // 4, 32
+    ray_feats = [torch.nn.Parameter(torch.randn(1, fdim, fh, fw))
+                 for _ in range(views + 1)]
+    coords = np.stack([rng.uniform(0, size - 1, rays),
+                       rng.uniform(0, size - 1, rays)],
+                      -1)[None].astype(np.float32)
+
+    imgs_t = torch.from_numpy(
+        np.transpose(ref_np["imgs"], (0, 3, 1, 2))).float()
+    poses_t = torch.from_numpy(ref_np["poses"]).float()
+    Ks_t = torch.from_numpy(ref_np["Ks"]).float()
+    dr_t = torch.from_numpy(ref_np["depth_range"]).float()
+    opt = torch.optim.Adam(list(model.parameters()) + ray_feats, lr=1e-4)
+
+    def step():
+        opt.zero_grad()
+        ref_t = {"imgs": imgs_t, "poses": poses_t, "Ks": Ks_t,
+                 "depth_range": dr_t,
+                 "ray_feats": torch.cat(ray_feats[:views], 0)}
+        que_t = {"imgs": imgs_t[0:1],
+                 "coords": torch.from_numpy(coords),
+                 "poses": poses_t[0:1], "Ks": Ks_t[0:1],
+                 "depth_range": dr_t[0:1], "ray_feats": ray_feats[views]}
+        outputs = model.render(que_t, ref_t, True)
+        log = {}
+        for loss in losses:
+            log.update(loss(outputs, {}, 0))
+        total = sum(torch.mean(v) for k, v in log.items()
+                    if k.startswith("loss"))
+        total.backward()
+        opt.step()
+        return float(total.detach())
+
+    dt = _timed_steps(step)
+    print(f"reference ft train step (torch cpu): {dt:.2f}s/step "
+          f"-> {1.0 / dt:.4f} steps/s", flush=True)
+    return 1.0 / dt
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--rays", type=int, default=8192)
@@ -181,8 +313,32 @@ def main():
     parser.add_argument("--skip-reference", action="store_true",
                         help="reuse reference_rays_per_sec from the"
                              " existing json")
+    parser.add_argument("--train", action="store_true",
+                        help="time the reference TRAIN steps (gen 512-"
+                             "ray step + ft step, torch CPU) and merge "
+                             "the steps/s into baseline_measured.json")
     flags = parser.parse_args()
     CFG["ray_batch_num"] = flags.chunk
+
+    if flags.train:
+        gen_sps = bench_reference_train_gen()
+        ft_sps = bench_reference_train_ft()
+        data = {}
+        if os.path.exists(OUT):
+            with open(OUT) as f:
+                data = json.load(f)
+        data.update({
+            "train_workload": "gen: 512 rays, 8 views, 512x512, 64+64 "
+                              "samples, render+depth loss; ft: 256 "
+                              "rays, 8 views, 64x64, 16+16 samples, "
+                              "render+consistency loss",
+            "reference_gen_train_steps_per_sec": round(gen_sps, 4),
+            "reference_ft_train_steps_per_sec": round(ft_sps, 4),
+        })
+        with open(OUT, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(data), flush=True)
+        return
 
     from neuray_tpu.data.synthetic import make_sphere_scene, make_query
     rng = np.random.RandomState(0)
