@@ -260,6 +260,127 @@ class FtRenderer:
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def make_sharded_train_step(self, optimizer, mesh):
+        """Ray-sharded FT train step over a device mesh.
+
+        The reference finetunes on one GPU (reference
+        train/trainer.py:66 raises on multi_gpus), so this is
+        TPU-native by charter rather than a parity surface: the FT
+        batch is ONE scene and train_ray_num rays (reference
+        renderer.py:505-525), so the natural mesh axis is the ray
+        axis. Per device: the (small) scene encode runs replicated,
+        the device renders its ray slice, and the render/consistency
+        losses psum their ray-axis reductions (train/losses.py
+        ``axis_name``) so every device holds the identical GLOBAL loss
+        value; grads then pmean to the exact full-batch gradient (each
+        device's backward carries its own rays' contribution times
+        n_devices — pmap's psum-transpose — which the pmean cancels).
+        params/opt_state — including the per-view ray_feats — live
+        replicated. pmap compiles the per-device program directly
+        (measured 4.6x faster than shard_map manual regions for train
+        steps on v5e; parallel/sharding.DpTrainStep).
+
+        Same call signature as make_train_step. params/opt_state are
+        replicated on the first call and KEPT replicated across calls
+        (use parallel.sharding.unreplicate before checkpointing).
+        train_ray_num must be divisible by the device count.
+        Loss-value equality with the single-device step is exact for
+        deterministic programs and tested on the virtual CPU mesh
+        (tests/test_parallel.py); with stochastic fine resampling the
+        per-device draws differ from the single-device ones (same
+        distribution, different rng stream).
+        """
+        import optax
+        from neuray_tpu.train.losses import build_losses
+
+        renderer = self.renderer
+        use_self = self.render_cfg.use_self_hit_prob
+        axis = mesh.axis_names[0]
+        devices = list(mesh.devices.flat)
+        n = len(devices)
+        loss_fn = build_losses(self.cfg, axis_name=axis)
+        slice_ref = self._slice_ref
+
+        def step_one(params, opt_state, ref_idx, que, que_idx, rng):
+            def loss(params):
+                ref = slice_ref(ref_idx)
+                raw = jnp.take(params["ray_feats"], ref_idx, axis=0)
+                img_feats, ray_feats = renderer.apply(
+                    params["net"], ref, raw,
+                    method=NeurayRenderer.encode_scene)
+                ref_c = dict(ref)
+                ref_c["img_feats"] = img_feats
+                ref_c["ray_feats"] = ray_feats
+                ref_c = renderer.build_gather_cache(ref_c)
+
+                que_c = dict(que)
+                if use_self:
+                    que_raw = params["ray_feats"][que_idx][None]
+                    _, que_rf = renderer.apply(
+                        params["net"], {"imgs": que["imgs"]}, que_raw,
+                        method=NeurayRenderer.encode_scene)
+                    que_c["ray_feats"] = que_rf
+                outputs = renderer.apply(
+                    params["net"], ref_c, que_c, True,
+                    method=NeurayRenderer.render_chunk,
+                    rngs={"sample": rng})
+                losses = loss_fn(outputs, {})
+                total = sum(jnp.mean(v) for k, v in losses.items()
+                            if k.startswith("loss"))
+                return total, losses
+
+            (total, losses), grads = jax.value_and_grad(
+                loss, has_aux=True)(params)
+            # pmean, NOT psum: under pmap the transpose of the psums
+            # INSIDE the loss is itself a psum, so each device's
+            # cotangents (hence grads) already carry a factor of
+            # n_devices; pmean(grads) = psum/n cancels it exactly,
+            # yielding the full-batch gradient (verified leaf-by-leaf
+            # vs the single-device step, tests/test_ft.py). The same
+            # rule is exact for any replicated (non-psum'd) loss path.
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # losses already hold global (psum'd) values on each device
+            metrics = {k: jnp.mean(v) for k, v in losses.items()}
+            metrics["loss_total"] = total
+            return params, opt_state, metrics
+
+        pstep = jax.pmap(step_one, axis_name=axis, devices=devices,
+                         donate_argnums=(0, 1))
+        state = {"replicated": False}
+
+        def replicate(tree):
+            from jax.sharding import Mesh as _Mesh, PartitionSpec as _P
+            sharding = jax.sharding.NamedSharding(
+                _Mesh(np.asarray(devices), ("dp",)), _P("dp"))
+            return jax.tree.map(
+                lambda x: jax.device_put(
+                    np.broadcast_to(np.asarray(x)[None],
+                                    (n,) + np.shape(x)), sharding),
+                jax.device_get(tree))
+
+        def rep(v):
+            return jnp.broadcast_to(jnp.asarray(v)[None],
+                                    (n,) + np.shape(v))
+
+        def step(params, opt_state, ref_idx, que, que_idx, rng):
+            if not state["replicated"]:
+                params = replicate(params)
+                opt_state = replicate(opt_state)
+                state["replicated"] = True
+            coords = np.asarray(que["coords"])
+            qn, rn, _ = coords.shape
+            assert rn % n == 0, \
+                f"train_ray_num {rn} must be divisible by {n} devices"
+            que_sh = {k: rep(v) for k, v in que.items() if k != "coords"}
+            que_sh["coords"] = jnp.asarray(
+                coords.reshape(qn, n, rn // n, 2).transpose(1, 0, 2, 3))
+            return pstep(params, opt_state, rep(ref_idx), que_sh,
+                         rep(que_idx), rep(rng))
+
+        return step
+
     def validate_view(self, params, render_fn, vi: int):
         """Full-image render of held-out view vi (reference :493-503)."""
         c = self.cfg

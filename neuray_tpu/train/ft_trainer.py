@@ -64,7 +64,23 @@ class FtTrainer:
         cfg = self.cfg
         params = self.ft.init_params()
         opt_state = self.optimizer.init(params)
-        step_fn = self.ft.make_train_step(self.optimizer, self.loss_fn)
+        # multi-chip: shard the FT ray batch over the mesh (the batch
+        # is one scene, so rays are the natural axis; losses/grads
+        # psum — models/ft.py make_sharded_train_step). Falls back to
+        # the single-device step when the ray count doesn't split.
+        n_dev = cfg.get("n_devices") or len(jax.devices())
+        self._dp = (n_dev > 1
+                    and self.ft.cfg["train_ray_num"] % n_dev == 0)
+        if self._dp:
+            from neuray_tpu.parallel.sharding import make_mesh
+            mesh = make_mesh(n_dev)
+            step_fn = self.ft.make_sharded_train_step(
+                self.optimizer, mesh)
+            print(f"ft training ray-sharded over {n_dev} devices",
+                  flush=True)
+        else:
+            step_fn = self.ft.make_train_step(
+                self.optimizer, self.loss_fn)
         render_fn = make_ft_render_fn(self.ft)
 
         restored_path = os.path.abspath(f"{self.model_dir}/ckpt")
@@ -84,6 +100,14 @@ class FtTrainer:
         rng = jax.random.PRNGKey(7 + step)
         train_results: Dict[str, list] = {}
         t0 = time.time()
+        replicated = False  # sharded step keeps state pmap-replicated
+
+        def host(tree):
+            if not replicated:
+                return tree
+            from neuray_tpu.parallel.sharding import unreplicate
+            return unreplicate(tree)
+
         while step < cfg["total_step"]:
             que_i, ref_idx = self.ft.sample_train_indices(rng_np)
             que = self.ft._build_que_train(ref_idx, que_i, rng_np)
@@ -91,6 +115,8 @@ class FtTrainer:
             params, opt_state, metrics = step_fn(
                 params, opt_state, np.asarray(ref_idx), que,
                 np.asarray(que_i), sub)
+            replicated = self._dp
+            metrics = host(metrics)
             step += 1
             for k, v in metrics.items():
                 train_results.setdefault(k, []).append(v)
@@ -104,16 +130,17 @@ class FtTrainer:
                 train_results, t0 = {}, time.time()
 
             if step % cfg["val_interval"] == 0:
-                val = self.validate(params, render_fn, step)
+                val = self.validate(host(params), render_fn, step)
                 if val is not None and val > best_metric:
                     best_metric = val
-                    self._save(step, params, best_metric, "ckpt_best")
+                    self._save(step, host(params), best_metric,
+                               "ckpt_best")
                 t0 = time.time()
 
             if step % cfg["save_interval"] == 0:
-                self._save(step, params, best_metric)
-        self._save(step, params, best_metric)
-        return params
+                self._save(step, host(params), best_metric)
+        self._save(step, host(params), best_metric)
+        return host(params)
 
     def validate(self, params, render_fn, step):
         results: Dict[str, list] = {}

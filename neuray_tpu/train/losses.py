@@ -13,7 +13,21 @@ import jax.numpy as jnp
 from neuray_tpu.ops.interpolate import grid_sample_nhwc
 
 
-def render_loss(cfg: Dict[str, Any]):
+def _ray_mean(x, axis_name):
+    """Mean over the ray axis (1). With ``axis_name`` the ray axis is
+    SHARDED over a device mesh: numerator and count psum over the mesh
+    so every device holds the identical GLOBAL mean — the building
+    block of the ray-sharded FT train step (models/ft.py)."""
+    if axis_name is None:
+        return jnp.mean(x, 1)
+    import jax
+    s = jax.lax.psum(jnp.sum(x, 1), axis_name)
+    n = jax.lax.psum(jnp.full(x.shape[:1], x.shape[1], jnp.float32),
+                     axis_name)
+    return s / n
+
+
+def render_loss(cfg: Dict[str, Any], axis_name: str | None = None):
     use_ray_mask = cfg.get("use_ray_mask", True)
     use_dr = cfg.get("use_dr_loss", False)
     use_dr_fine = cfg.get("use_dr_fine_loss", False)
@@ -26,8 +40,14 @@ def render_loss(cfg: Dict[str, Any]):
             loss = jnp.sum((rgb_pr - rgb_gt) ** 2, -1)       # qn,rn
             if use_ray_mask:
                 rm = data_pr["ray_mask"].astype(jnp.float32)
-                return jnp.sum(loss * rm, 1) / (jnp.sum(rm, 1) + 1e-3)
-            return jnp.mean(loss, 1)
+                num = jnp.sum(loss * rm, 1)
+                den = jnp.sum(rm, 1)
+                if axis_name is not None:
+                    import jax
+                    num = jax.lax.psum(num, axis_name)
+                    den = jax.lax.psum(den, axis_name)
+                return num / (den + 1e-3)
+            return _ray_mean(loss, axis_name)
 
         out = {"loss_rgb_nr": compute(data_pr["pixel_colors_nr"])}
         if use_dr:
@@ -102,7 +122,7 @@ def depth_loss(cfg: Dict[str, Any]):
     return fn
 
 
-def consistency_loss(cfg: Dict[str, Any]):
+def consistency_loss(cfg: Dict[str, Any], axis_name: str | None = None):
     use_ray_mask = cfg.get("use_ray_mask", False)
 
     def fn(data_pr: Dict, data_gt: Dict) -> Dict[str, jnp.ndarray]:
@@ -112,7 +132,7 @@ def consistency_loss(cfg: Dict[str, Any]):
         def ce_loss(p0, p1):
             ce = (- p0 * jnp.log(p1 + 1e-5)
                   - (1 - p0) * jnp.log(1 - p1 + 1e-5))
-            return jnp.mean(jnp.mean(ce, -1), 1)
+            return _ray_mean(jnp.mean(ce, -1), axis_name)
 
         import jax
         out = {"loss_prob": ce_loss(
@@ -134,9 +154,20 @@ name2loss = {
 }
 
 
-def build_losses(cfg: Dict[str, Any]):
-    """Compose the configured losses into one fn(outputs, batch)->dict."""
-    fns = [name2loss[name](cfg) for name in cfg.get("loss", ["render"])]
+def build_losses(cfg: Dict[str, Any], axis_name: str | None = None):
+    """Compose the configured losses into one fn(outputs, batch)->dict.
+
+    axis_name: ray-sharded mode — render/consistency reductions over
+    the ray axis psum over the named mesh axis, so per-device loss
+    VALUES equal the single-device global values exactly (tested in
+    tests/test_parallel.py). depth_loss normalizes over ref-view
+    coords (replicated, not ray-sharded) and is unaffected."""
+    def _make(name):
+        if name in ("render", "consist"):
+            return name2loss[name](cfg, axis_name=axis_name)
+        return name2loss[name](cfg)
+
+    fns = [_make(name) for name in cfg.get("loss", ["render"])]
 
     def fn(data_pr, data_gt):
         out = {}

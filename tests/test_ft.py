@@ -102,6 +102,75 @@ def test_ft_train_step(fake_scene, monkeypatch):
     assert np.abs(after - ray_feats_before).max() > 0
 
 
+def test_ft_sharded_step_matches_single_device(fake_scene, monkeypatch):
+    """Ray-sharded FT train step (make_sharded_train_step, 8-device
+    mesh): with a deterministic program (no stochastic fine resample)
+    the GLOBAL loss value and the updated params must match the
+    single-device step exactly (the psum'd ray reductions in
+    train/losses.py reproduce the unsharded normalizations)."""
+    from neuray_tpu.data import database as D
+    monkeypatch.setattr(D, "DATA_ROOT", fake_scene)
+    from neuray_tpu.models.ft import FtRenderer
+    from neuray_tpu.train.losses import build_losses
+    from neuray_tpu.parallel.sharding import make_mesh, unreplicate
+
+    cfg = {
+        "database_name": "nerf_synthetic/toy/black_800",
+        "database_split": "val_all",
+        "gen_cfg": None,
+        "use_validation": False,
+        "neighbor_view_num": 4,
+        "train_ray_num": 32,
+        "ray_feats_res": [8, 8],
+        "ray_feats_dim": 32,
+        "use_self_hit_prob": True,
+        "use_hierarchical_sampling": False,
+        "depth_sample_num": 8,
+        "ray_batch_num": 32,
+        "ray_mask_point_num": 4,
+        "loss": ["render", "consist"],
+        "use_ray_mask": True,
+        "dist_decoder_cfg": {"use_vis": False},
+    }
+    ft = FtRenderer(cfg)
+    params0 = ft.init_params()
+    # SGD, not Adam: the equality target is the GRADIENT (psum of the
+    # shards == the unsharded ray sum); Adam's m/(sqrt(v)+eps) blows a
+    # ~1e-7 f32 reduction-order difference on a near-zero grad up to
+    # lr-scale, which would force a meaninglessly loose tolerance.
+    # With SGD the param diff IS lr x grad diff.
+    optimizer = optax.sgd(1e-2)
+
+    rng_np = np.random.RandomState(3)
+    que_i, ref_idx = ft.sample_train_indices(rng_np)
+    que = ft._build_que_train(ref_idx, que_i, rng_np)
+    args = (np.asarray(ref_idx), que, np.asarray(que_i),
+            jax.random.PRNGKey(0))
+
+    # sharded first: it replicates COPIES of params0, so the donation
+    # in the single-device step afterwards can't invalidate its inputs
+    mesh = make_mesh(8)
+    sharded = ft.make_sharded_train_step(optimizer, mesh)
+    p8_r, _, m8_r = sharded(params0, optimizer.init(params0), *args)
+    p8, m8 = unreplicate(p8_r), unreplicate(m8_r)
+
+    single = ft.make_train_step(optimizer, build_losses(cfg))
+    p1, _, m1 = single(params0, optimizer.init(params0), *args)
+
+    np.testing.assert_allclose(float(m8["loss_total"]),
+                               float(m1["loss_total"]),
+                               rtol=1e-5, atol=1e-7)
+    for k in m1:
+        np.testing.assert_allclose(float(m8[k]), float(m1[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    # param diff = lr x grad diff (SGD); tolerance covers only f32
+    # psum-vs-serial reduction-order noise
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        p8, p1)
+
+
 def test_ft_skip_empty_matches_render_fn(fake_scene, monkeypatch):
     """The FT CLI's skip-empty branch (make_ft_encode_fn +
     render_frame_skip_empty, ft.py render_video_ft) at threshold=-1

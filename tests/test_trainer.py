@@ -58,6 +58,52 @@ def test_trainer_runs_and_resumes(tmp_path):
     assert all(np.isfinite(l).all() for l in leaves)
 
 
+def test_trainer_dp8_val_improves_and_resumes(tmp_path):
+    """Gen training END-TO-END through Trainer.run on the full 8-device
+    mesh (bucketed DP batching, pmean'd grads, sharded validation
+    render): val PSNR must improve over the run, and the checkpoint
+    written from pmap-replicated state must resume correctly."""
+    from neuray_tpu.train.trainer import Trainer
+
+    def cfg(total_step):
+        c = make_cfg(tmp_path, total_step=total_step)
+        c.update({
+            "name": "dp8",
+            "n_devices": 8,
+            "train_log_step": 2,
+            "val_interval": 10,
+            "save_interval": 10,
+            "val_metric": ["psnr_ssim"],
+            # num=2: the synthetic val set defaults to 1024 views
+            "val_set_list": [{"name": "sphere", "type": "synthetic",
+                              "cfg": {"rfn": 3, "h": 32, "w": 32,
+                                      "num": 2}}],
+        })
+        return c
+
+    trainer = Trainer(cfg(30))
+    trainer.run()
+    with open(f"{trainer.model_dir}/val-sphere.txt") as f:
+        vals = []
+        for line in f:
+            toks = line.split()
+            vals.append((int(toks[2]),
+                         float(toks[toks.index("psnr_nr_fine") + 1])))
+    by_step = dict(vals)
+    assert 10 in by_step and 30 in by_step
+    assert by_step[30] > by_step[10], by_step
+
+    # resume from the step-30 checkpoint (saved from replicated state)
+    trainer2 = Trainer(cfg(34))
+    params2 = trainer2.run()
+    with open(f"{trainer2.model_dir}/train.txt") as f:
+        log = f.read()
+    assert "step 32" in log and "step 34" in log
+    import jax
+    leaves = [np.asarray(x) for x in jax.tree.leaves(params2)]
+    assert all(np.isfinite(l).all() for l in leaves)
+
+
 def test_restore_opt_state_strict():
     """Adam moments must survive a resume; a structure mismatch must be
     loud (raise under strict) instead of silently resetting moments."""
