@@ -61,22 +61,37 @@ def render_spheres_view(pose: np.ndarray, K: np.ndarray, h: int, w: int,
     rgb = np.zeros((h, w, 3), np.float32)
     light = np.array([0.5, 0.5, 0.7])
     a = np.sum(dirs * dirs, -1)
-    for center, radius, palette in spheres:
+    for sphere in spheres:
+        center, radius, palette = sphere[:3]
+        textured = len(sphere) > 3 and sphere[3]
         oc = cam - np.asarray(center, np.float64)
         b = 2 * dirs @ oc
         c = oc @ oc - radius * radius
         disc = b * b - 4 * a * c
         hit_s = disc > 0
-        tt = np.where(hit_s, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a),
-                      np.inf)
-        closer = (tt > 0) & (tt < best_t)
+        sq = np.sqrt(np.maximum(disc, 0))
+        # smallest POSITIVE root: the far root applies when the camera
+        # is INSIDE the sphere (the enclosing-room scene)
+        t0 = (-b - sq) / (2 * a)
+        t1 = (-b + sq) / (2 * a)
+        tt = np.where(t0 > 1e-3, t0, t1)
+        tt = np.where(hit_s & (tt > 1e-3), tt, np.inf)
+        closer = np.isfinite(tt) & (tt < best_t)
         tt_f = np.where(closer, tt, 0.0)  # keep inf out of the shading
         pts = cam[None, None] + dirs * tt_f[..., None]
         normal = (pts - np.asarray(center)) / radius
         shade = np.clip(normal @ light, 0, 1)
         col = np.stack([shade * palette[0], shade * palette[1],
                         (1 - shade) * palette[2]], -1)
-        rgb = np.where(closer[..., None], col, rgb)
+        if textured:
+            # procedural 3D checker so the surface carries spatial
+            # detail the model must actually reconstruct (a flat room
+            # would hide focus-window quality errors)
+            checker = (np.floor(pts[..., 0] * 1.5)
+                       + np.floor(pts[..., 1] * 1.5)
+                       + np.floor(pts[..., 2] * 1.5)) % 2
+            col = (col + 0.25) * (0.5 + 0.5 * checker[..., None])
+        rgb = np.where(closer[..., None], np.clip(col, 0, 1), rgb)
         best_t = np.where(closer, tt, best_t)
 
     hit = np.isfinite(best_t)
@@ -109,8 +124,26 @@ def make_blob_spheres(rng: np.random.RandomState, n: int = 5):
     return tuple(spheres)
 
 
+ROOM_RADIUS = 8.0
+ROOM_DEPTH_RANGE = (2.5, 12.5)  # cameras at 4 inside the radius-8 room
+
+
+def make_room_spheres(rng: np.random.RandomState, n_inner: int = 4):
+    """FULL-COVERAGE adversarial scene: the blob objects ENCLOSED by a
+    textured radius-8 room sphere (cameras sit inside it at radius 4),
+    so EVERY ray hits geometry and the empty-ray skip has nothing to
+    skip — the scene where the speedup must come honestly from focus
+    windows, not from background rays. Use with
+    depth_range=ROOM_DEPTH_RANGE."""
+    spheres = list(make_blob_spheres(rng, n_inner))
+    spheres.append(((0.0, 0.0, 0.0), ROOM_RADIUS, (0.75, 0.7, 0.55),
+                    True))
+    return tuple(spheres)
+
+
 def make_sphere_scene(rng: np.random.RandomState, rfn: int, h: int,
-                      w: int, spheres=UNIT_SPHERE) -> Dict[str, np.ndarray]:
+                      w: int, spheres=UNIT_SPHERE,
+                      depth_range=DEPTH_RANGE) -> Dict[str, np.ndarray]:
     """rfn reference views of the sphere(s), in the renderer's ref
     schema: {imgs [rfn,h,w,3], poses [rfn,3,4], Ks [rfn,3,3],
     depth_range [rfn,2], depth [rfn,h,w,1]}. Depth is the exact z-depth
@@ -129,7 +162,7 @@ def make_sphere_scene(rng: np.random.RandomState, rfn: int, h: int,
         "imgs": np.stack(imgs),
         "poses": np.stack(poses).astype(np.float32),
         "Ks": np.stack(Ks).astype(np.float32),
-        "depth_range": np.tile(np.asarray([DEPTH_RANGE], np.float32),
+        "depth_range": np.tile(np.asarray([depth_range], np.float32),
                                (rfn, 1)),
         "depth": np.stack(depths)[..., None],
     }
@@ -137,7 +170,8 @@ def make_sphere_scene(rng: np.random.RandomState, rfn: int, h: int,
 
 def make_query(rng: np.random.RandomState, h: int, w: int, rn: int,
                full_image: bool = False,
-               spheres=UNIT_SPHERE) -> Dict[str, np.ndarray]:
+               spheres=UNIT_SPHERE,
+               depth_range=DEPTH_RANGE) -> Dict[str, np.ndarray]:
     """One query view in the renderer's que schema: {coords [1,rn,2],
     poses [1,3,4], Ks [1,3,3], depth_range [1,2], imgs [1,h,w,3]}.
     full_image=True emits the full pixel grid instead of rn random
@@ -154,6 +188,6 @@ def make_query(rng: np.random.RandomState, h: int, w: int, rn: int,
         "coords": coords.astype(np.float32),
         "poses": pose[None],
         "Ks": K[None],
-        "depth_range": np.asarray([DEPTH_RANGE], np.float32),
+        "depth_range": np.asarray([depth_range], np.float32),
         "imgs": rgb[None],
     }

@@ -1233,6 +1233,57 @@ def estimate_false_skip(renderer: NeurayRenderer, params, ref_c, que,
     return float((exact_score > threshold).mean())
 
 
+def estimate_window_clip(renderer: NeurayRenderer, params, ref_c, que,
+                         keep_idx, near, far, threshold: float,
+                         sample_rays: int = 1024, seed: int = 0):
+    """Audit the probe's FOCUS WINDOWS: run the exact full-sample
+    coarse pass on a random sample of the KEPT rays and measure the
+    mean fraction of each ray's hit-probability mass that falls
+    OUTSIDE its [near, far] window. The focused render never samples
+    outside the window, so clipped mass is unrecoverable — the focus
+    mode's quality failure mode on weakly-trained / diffuse models
+    (measured: the full-coverage room scene loses ~0.8 dB to window
+    clipping while the false-SKIP audit reads 0.0, because every ray
+    is kept). Complements estimate_false_skip: together the two audits
+    cover both ways a probe-driven render can differ from the exact
+    one. Cost: ~sample_rays rays of coarse-only work.
+
+    Rays whose exact coarse mass is below ``threshold`` are excluded
+    (they would have been skipped; their windows are irrelevant).
+    """
+    import numpy as np
+    from neuray_tpu.ops import sampling as S
+
+    if keep_idx.size == 0:
+        return 0.0
+    rs = np.random.RandomState(seed)
+    pick = (keep_idx if keep_idx.size <= sample_rays
+            else rs.choice(keep_idx, sample_rays, replace=False))
+    chunk = renderer.cfg.ray_batch_num
+    n = -(-pick.size // chunk) * chunk
+    pick_p = np.pad(pick, (0, n - pick.size), mode="edge")
+    que_s = dict(que)
+    que_s["coords"] = jnp.take(que["coords"], jnp.asarray(pick_p), axis=1)
+    coarse_fn = make_coarse_render_fn(renderer, keep_keys=("hit_prob_nr",))
+    hp = np.asarray(jax.device_get(
+        coarse_fn(params, ref_c, que_s)["hit_prob_nr"]))[0, :pick.size]
+    # the exact coarse depths are the deterministic stratified
+    # inverse-depth grid — recompute host-side (ops/sampling)
+    depth = np.asarray(jax.device_get(S.sample_depth(
+        que["depth_range"], 1, pick.size,
+        renderer.cfg.depth_sample_num, False)[0]))[0]      # n, dn
+    nr = np.asarray(near)[0, pick][:, None]
+    fr = np.asarray(far)[0, pick][:, None]
+    inside = (depth >= nr) & (depth <= fr)
+    mass = hp.sum(-1)
+    mass_in = (hp * inside).sum(-1)
+    valid = mass > threshold
+    if not valid.any():
+        return 0.0
+    clip = 1.0 - mass_in[valid] / np.maximum(mass[valid], 1e-8)
+    return float(clip.mean())
+
+
 def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
                             que, threshold: float = 0.005,
                             bucket_chunks: int = 32,
@@ -1242,15 +1293,20 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
                             tol: float = 0.02,
                             max_probe_sample_num: int = 32,
                             validate_rays: int = 2048, seed: int = 0,
-                            probe_stride: int = 1):
+                            probe_stride: int = 1,
+                            win_tol: float = 0.01):
     """SELF-VALIDATING probe-skip/focus render — removes the
     scene-tuned probe_sample_num knob.
 
-    The reduced-sample probe's only failure mode is skipping rays the
-    exact gate would keep (thin silhouettes between probe samples).
-    This driver probes, AUDITS a random sample of the skipped rays
-    against the exact full-sample coarse score (estimate_false_skip),
-    and:
+    A probe-driven render can fail two ways: skipping rays the exact
+    gate would keep (thin silhouettes between probe samples), and —
+    focus mode only — windows that clip real hit mass (diffuse /
+    weakly trained models, where nothing skips so the skip audit alone
+    is blind; measured on the full-coverage room scene,
+    docs/ARCHITECTURE.md). This driver probes, AUDITS random samples
+    against the exact full-sample coarse gate (estimate_false_skip on
+    skipped rays; estimate_window_clip <= win_tol on kept rays when
+    ``focus``), and:
       - accepts the probe if the measured false-skip rate <= tol,
       - otherwise doubles probe_sample_num (recompiled probe variant;
         the encoded scene is reused) and re-audits,
@@ -1314,7 +1370,23 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
                                  threshold, validate_rays, seed)
         info["false_skip_rate"] = fs
         info["probe_sample_num"] = psn
-        if fs <= tol:
+        wc = 0.0
+        if focus and fs <= tol:
+            # second audit, for the focus mode's OTHER failure mode:
+            # windows clipping real hit mass (a diffuse / weakly
+            # trained model — skipping audits can't see it because on
+            # such scenes nothing skips). Uses the same exact coarse
+            # gate, on KEPT rays.
+            if use_stride:
+                near_a, far_a = probe_out[1], probe_out[2]
+            else:
+                near_a = np.asarray(jax.device_get(probe_out[1]))
+                far_a = np.asarray(jax.device_get(probe_out[2]))
+            wc = estimate_window_clip(
+                r, params, ref_c, que, np.nonzero(keep_mask)[0],
+                near_a, far_a, threshold, seed=seed)
+            info["window_clip"] = wc
+        if fs <= tol and wc <= win_tol:
             if focus:
                 out = render_frame_probe_focus(
                     r, params, ref_c, que, threshold=threshold,

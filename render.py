@@ -275,6 +275,7 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                     keep_base=tuple(keep_base), image_hw=(h, w),
                     dilate=p_dilate, focus=skip_mode == "auto_focus",
                     tol=cfg.get("skip_auto_tol", 0.02),
+                    win_tol=cfg.get("skip_auto_win_tol", 0.01),
                     probe_stride=p_stride, mesh=skip_mesh)
                 if out["fallback"] is None:
                     if out["probe_sample_num"] != \

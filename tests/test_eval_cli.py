@@ -12,6 +12,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _repo_eval():
+    """Import the REPO's eval.py. The reference-parity tests insert
+    /root/reference at sys.path[0] (it also has an eval.py, which
+    imports the absent lpips package), so a bare ``import eval`` later
+    in the same pytest process can resolve to the wrong file."""
+    import importlib
+    mod = sys.modules.get("eval")
+    if mod is None or not str(getattr(mod, "__file__", "")).startswith(
+            REPO):
+        sys.modules.pop("eval", None)
+        if sys.path[0] != REPO:
+            sys.path.insert(0, REPO)
+        mod = importlib.import_module("eval")
+    return mod
+
+
 def _write_pair(tmp, n=3, size=24):
     import cv2
     pr_dir = tmp / "pr"
@@ -60,7 +76,7 @@ def fake_weights(tmp_path):
     the LPIPS plumbing (taps, normalization, lin weighting) runs."""
     torch = pytest.importorskip("torch")
     import torch.nn as nn
-    from eval import _VGG_BLOCKS
+    _VGG_BLOCKS = _repo_eval()._VGG_BLOCKS
 
     torch.manual_seed(0)
     layers, in_ch = [], 3
@@ -87,7 +103,7 @@ def test_lpips_metric_properties(fake_weights, monkeypatch):
     vgg_fn, lin_fn = fake_weights
     monkeypatch.setenv("NEURAY_VGG16_WEIGHTS", vgg_fn)
     monkeypatch.setenv("NEURAY_LPIPS_WEIGHTS", lin_fn)
-    from eval import LpipsVgg
+    LpipsVgg = _repo_eval().LpipsVgg
 
     metric = LpipsVgg()
     assert metric.ok, metric.reason
@@ -114,7 +130,7 @@ def test_lpips_matches_published_definition(fake_weights, monkeypatch):
     vgg_fn, lin_fn = fake_weights
     monkeypatch.setenv("NEURAY_VGG16_WEIGHTS", vgg_fn)
     monkeypatch.setenv("NEURAY_LPIPS_WEIGHTS", lin_fn)
-    from eval import LpipsVgg
+    LpipsVgg = _repo_eval().LpipsVgg
 
     metric = LpipsVgg()
     assert metric.ok, metric.reason

@@ -453,12 +453,24 @@ def test_probe_auto_render(rng):
     assert out_all["kept_rays"] == que["coords"].shape[1]
     assert out_all["false_skip_rate"] == 0.0
 
-    # focus variant goes through the same audit machinery
+    # focus variant goes through the same audit machinery, PLUS the
+    # window-clip audit (clipped hit mass on kept rays)
     out_f = render_frame_probe_auto(
         renderer, params, ref_c, que, threshold=0.3, dilate=0, tol=1.0,
-        focus=True)
+        focus=True, win_tol=1.0)
     assert out_f["fallback"] is None
+    assert 0.0 <= out_f["window_clip"] <= 1.0
     assert np.isfinite(out_f["pixel_colors_nr_fine"]).all()
+
+    # impossible window tolerance -> must NOT accept the focused
+    # windows: escalates to max then falls back to the exact two-phase
+    # driver (the quality guard for diffuse/weak models, where nothing
+    # skips and the false-skip audit alone would accept)
+    out_wf = render_frame_probe_auto(
+        renderer, params, ref_c, que, threshold=0.3, dilate=0, tol=1.0,
+        focus=True, win_tol=-1.0, max_probe_sample_num=8)
+    assert out_wf["fallback"] == "two_phase"
+    assert out_wf["kept_rays"] == out_tp["kept_rays"]
 
 
 def test_probe_focus_stride(rng):

@@ -56,12 +56,24 @@ def main():
                     help="focus mode: probe every stride-th pixel "
                          "(stride^2 fewer probe taps, conservative "
                          "window upsampling)")
+    ap.add_argument("--auto", action="store_true",
+                    help="run the self-validating auto_focus driver "
+                         "(render_frame_probe_auto): reports the "
+                         "accepted probe size, audited false-skip "
+                         "rate, and whether it escalated/fell back")
+    ap.add_argument("--auto-tol", type=float, default=0.02)
+    ap.add_argument("--auto-win-tol", type=float, default=0.01,
+                    help="max mean clipped hit mass on kept rays "
+                         "before the focus windows are rejected")
     ap.add_argument("--weights", default=None)
     ap.add_argument("--scene", default="sphere",
-                    choices=["sphere", "blobs"],
-                    help="blobs: 5 spheres incl. a thin r=0.08 one "
+                    choices=["sphere", "blobs", "room"],
+                    help="blobs: 5 spheres incl. a thin r=0.08 one; "
+                         "room: blobs ENCLOSED by a textured room "
+                         "sphere — every ray hits geometry, kept "
+                         "fraction ~100%%, skipping cannot win "
                          "(weights: tools/make_bench_weights.py "
-                         "--scene blobs)")
+                         "--scene <name>)")
     ap.add_argument("--cpu", action="store_true")
     flags = ap.parse_args()
     if flags.weights is None:
@@ -82,7 +94,8 @@ def main():
         NeurayRenderer, RenderConfig, make_scene_encode_fn,
         make_ray_render_fn, render_frame_skip_empty)
     from neuray_tpu.data.synthetic import (
-        make_sphere_scene, make_query, make_blob_spheres, UNIT_SPHERE)
+        make_sphere_scene, make_query, make_blob_spheres,
+        make_room_spheres, UNIT_SPHERE, DEPTH_RANGE, ROOM_DEPTH_RANGE)
     from neuray_tpu.utils.params_io import load_params_npz
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -100,11 +113,16 @@ def main():
     params = load_params_npz(flags.weights)
 
     rng = np.random.RandomState(0)  # bench scene
-    spheres = (UNIT_SPHERE if flags.scene == "sphere"
-               else make_blob_spheres(np.random.RandomState(42)))
+    spheres = {"sphere": UNIT_SPHERE,
+               "blobs": make_blob_spheres(np.random.RandomState(42)),
+               "room": make_room_spheres(np.random.RandomState(42)),
+               }[flags.scene]
+    depth_range = (ROOM_DEPTH_RANGE if flags.scene == "room"
+                   else DEPTH_RANGE)
     ref = {k: jnp.asarray(v) for k, v in
-           make_sphere_scene(rng, 8, h, w, spheres).items()}
-    que_np = make_query(rng, h, w, rn=0, full_image=True, spheres=spheres)
+           make_sphere_scene(rng, 8, h, w, spheres, depth_range).items()}
+    que_np = make_query(rng, h, w, rn=0, full_image=True, spheres=spheres,
+                        depth_range=depth_range)
     gt = que_np["imgs"][0].reshape(-1, 3)
     coords_all = que_np["coords"]
     n_rays = coords_all.shape[1]
@@ -140,6 +158,54 @@ def main():
         "psnr_vs_gt": round(psnr(full, gt), 3)}), flush=True)
 
     que_all = dict(que_base, coords=jnp.asarray(coords_all))
+
+    if flags.auto:
+        # self-validating auto_focus: the driver must ESCALATE (or fall
+        # back to the exact gate) on scenes where the probe misses,
+        # rather than lose quality — this is the adversarial-scene test
+        from neuray_tpu.models.renderer import render_frame_probe_auto
+        for psn in [int(x) for x in flags.probe_samples.split(",")][:1]:
+            for th in [float(x) for x in
+                       flags.probe_thresholds.split(",")]:
+                cfg_a = RenderConfig(
+                    use_hierarchical_sampling=True,
+                    depth_sample_num=dn, fine_depth_sample_num=dn,
+                    ray_batch_num=chunk, probe_sample_num=psn,
+                    focus_sample_num=min(16, dn),
+                    focus_fine_sample_num=min(32, dn),
+                    use_vis=False, fine_use_vis=False, use_bf16=on_tpu,
+                    gather_quant="u8" if on_tpu else "none")
+                renderer_a = NeurayRenderer(cfg_a)
+                ref_ca = make_scene_encode_fn(renderer_a)(params, ref)
+                stride = [int(x) for x in
+                          flags.probe_strides.split(",")][0]
+                out = render_frame_probe_auto(
+                    renderer_a, params, ref_ca, que_all, threshold=th,
+                    image_hw=(h, w), dilate=1, focus=True,
+                    tol=flags.auto_tol, win_tol=flags.auto_win_tol,
+                    probe_stride=stride)
+                t0 = time.perf_counter()
+                out = render_frame_probe_auto(
+                    renderer_a, params, ref_ca, que_all, threshold=th,
+                    image_hw=(h, w), dilate=1, focus=True,
+                    tol=flags.auto_tol, win_tol=flags.auto_win_tol,
+                    probe_stride=stride)
+                dt = time.perf_counter() - t0
+                img = out["pixel_colors_nr_fine"][0]
+                print(json.dumps({
+                    "mode": "auto_focus", "start_probe_samples": psn,
+                    "accepted_probe_samples": out["probe_sample_num"],
+                    "false_skip_rate": round(out["false_skip_rate"], 4),
+                    "window_clip": round(out.get("window_clip", 0.0), 4),
+                    "fallback": out["fallback"], "threshold": th,
+                    "probe_stride": stride,
+                    "kept_fraction": round(
+                        out.get("kept_rays", n_rays) / n_rays, 4),
+                    "time_s": round(dt, 2),
+                    "rays_per_s": round(n_rays / dt, 1),
+                    "psnr_vs_full": round(psnr(img, full), 3),
+                    "psnr_vs_gt": round(psnr(img, gt), 3)}), flush=True)
+
     for th in [float(x) for x in flags.thresholds.split(",")]:
         out = render_frame_skip_empty(renderer, params, ref_c, que_all,
                                       threshold=th)  # warmup/compile

@@ -39,9 +39,12 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--out", default=None)
     ap.add_argument("--scene", default="sphere",
-                    choices=["sphere", "blobs"],
+                    choices=["sphere", "blobs", "room"],
                     help="blobs: 5 spheres incl. a thin r=0.08 one "
-                         "(probe-generality evidence)")
+                         "(probe-generality evidence); room: blobs "
+                         "ENCLOSED by a textured room sphere — every "
+                         "ray hits geometry (full-coverage adversarial "
+                         "quality scene; nothing can skip)")
     ap.add_argument("--init", default="depth",
                     choices=["depth", "cost_volume"],
                     help="cost_volume: train the MVSNet-cost-volume "
@@ -71,7 +74,8 @@ def main():
 
     from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
     from neuray_tpu.data.synthetic import (
-        make_sphere_scene, make_query, make_blob_spheres, UNIT_SPHERE)
+        make_sphere_scene, make_query, make_blob_spheres,
+        make_room_spheres, UNIT_SPHERE, DEPTH_RANGE, ROOM_DEPTH_RANGE)
     from neuray_tpu.train.losses import render_loss
     from neuray_tpu.utils.params_io import save_params_npz
 
@@ -96,10 +100,15 @@ def main():
     renderer = NeurayRenderer(cfg)
 
     rng = np.random.RandomState(0)  # SAME scene poses as bench.py
-    spheres = (UNIT_SPHERE if flags.scene == "sphere"
-               else make_blob_spheres(np.random.RandomState(42)))
+    spheres = {"sphere": UNIT_SPHERE,
+               "blobs": make_blob_spheres(np.random.RandomState(42)),
+               "room": make_room_spheres(np.random.RandomState(42)),
+               }[flags.scene]
+    depth_range = (ROOM_DEPTH_RANGE if flags.scene == "room"
+                   else DEPTH_RANGE)
     ref = {k: jnp.asarray(v) for k, v in
-           make_sphere_scene(rng, 8, size, size, spheres).items()}
+           make_sphere_scene(rng, 8, size, size, spheres,
+                             depth_range).items()}
     src = None
     if flags.init == "cost_volume":
         # src views = the refs themselves; nn_ids = 3 nearest other
@@ -116,7 +125,8 @@ def main():
     ques = []
     for i in range(n_que):
         q = make_query(np.random.RandomState(100 + i), size, size, rn=0,
-                       full_image=False, spheres=spheres)
+                       full_image=False, spheres=spheres,
+                       depth_range=depth_range)
         ques.append({k: jnp.asarray(v) for k, v in q.items()
                      if k != "coords"})
 
