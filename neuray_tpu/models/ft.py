@@ -301,7 +301,14 @@ class FtRenderer:
         loss_fn = build_losses(self.cfg, axis_name=axis)
         slice_ref = self._slice_ref
 
-        def step_one(params, opt_state, ref_idx, que, que_idx, rng):
+        def step_one(params, opt_state, ref_idx, que, que_idx, rng,
+                     weight):
+            # per-device rng stream: with stochastic fine resampling a
+            # replicated key would draw the SAME jitter on every ray
+            # shard (shard-position-correlated noise); fold the device
+            # index in so shards draw independently.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
             def loss(params):
                 ref = slice_ref(ref_idx)
                 raw = jnp.take(params["ray_feats"], ref_idx, axis=0)
@@ -324,7 +331,11 @@ class FtRenderer:
                     params["net"], ref_c, que_c, True,
                     method=NeurayRenderer.render_chunk,
                     rngs={"sample": rng})
-                losses = loss_fn(outputs, {})
+                # ray_weight zeros pad rays out of every psum'd loss
+                # normalization (train/losses.py), so a batch padded up
+                # to the device count yields the exact unpadded global
+                # loss — and hence the exact unpadded gradient.
+                losses = loss_fn(dict(outputs, ray_weight=weight), {})
                 total = sum(jnp.mean(v) for k, v in losses.items()
                             if k.startswith("loss"))
                 return total, losses
@@ -371,13 +382,28 @@ class FtRenderer:
                 state["replicated"] = True
             coords = np.asarray(que["coords"])
             qn, rn, _ = coords.shape
-            assert rn % n == 0, \
-                f"train_ray_num {rn} must be divisible by {n} devices"
+            # non-divisible ray counts: pad the batch to the next
+            # multiple of n with copies of the last ray and weight the
+            # pad rays 0 — ray_weight drops them from every psum'd loss
+            # normalization (train/losses.py _ray_mean), so the global
+            # loss and gradient equal the unpadded single-device step
+            # exactly (tested tests/test_ft.py).
+            pad = (-rn) % n
+            weight = np.ones((qn, rn + pad), np.float32)
+            if pad:
+                coords = np.concatenate(
+                    [coords, np.repeat(coords[:, -1:], pad, 1)], 1)
+                weight[:, rn:] = 0.0
+                rn += pad
             que_sh = {k: rep(v) for k, v in que.items() if k != "coords"}
             que_sh["coords"] = jnp.asarray(
                 coords.reshape(qn, n, rn // n, 2).transpose(1, 0, 2, 3))
+            w_sh = jnp.asarray(
+                weight.reshape(qn, n, rn // n).transpose(1, 0, 2))
             return pstep(params, opt_state, rep(ref_idx), que_sh,
-                         rep(que_idx), rep(rng))
+                         rep(que_idx), rep(rng), w_sh)
+
+        step.pads_rays = True  # ft_trainer keys its announcement on this
 
         return step
 

@@ -371,7 +371,12 @@ class NeurayRenderer(nn.Module):
         hit_prob_nr, colors_nr, pixel_colors_nr = self._network_rendering(
             prj, que_dir, is_fine, pos)
         outputs = {"pixel_colors_nr": pixel_colors_nr,
-                   "hit_prob_nr": hit_prob_nr}
+                   "hit_prob_nr": hit_prob_nr,
+                   # per-sample radiance [qn,rn,dn,3]: consumed only by
+                   # the window-clip dB audit (estimate_window_clip);
+                   # XLA dead-code-eliminates it everywhere else (all
+                   # drivers filter outputs by keep_keys inside jit)
+                   "colors_nr": colors_nr}
 
         if c.use_dr_prediction:
             hit_prob_dr, _, pixel_colors_dr = self._direct_rendering(
@@ -1127,7 +1132,8 @@ def render_frame_probe_skip(renderer: NeurayRenderer, params, ref_c,
 def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
                             que, threshold: float = 0.02,
                             bucket_chunks: int = 32,
-                            keep_base=("pixel_colors_nr",)):
+                            keep_base=("pixel_colors_nr",),
+                            mesh=None):
     """Two-phase eval render that SKIPS the fine pass for rays whose
     coarse pass found nothing (sum of coarse hit_prob <= threshold).
 
@@ -1159,10 +1165,23 @@ def render_frame_skip_empty(renderer: NeurayRenderer, params, ref_c,
     c = renderer.cfg
     assert c.use_hierarchical_sampling
     keep_base = tuple(keep_base)
-    coarse_fn = make_coarse_render_fn(
-        renderer, keep_keys=keep_base + ("hit_prob_nr",))
-    fine_fn = make_fine_render_fn(
-        renderer, keep_keys=tuple(k + "_fine" for k in keep_base))
+    if mesh is not None and mesh.devices.size > 1:
+        # multi-chip: both the exact coarse gate and the kept fine pass
+        # shard the ray axis; the compaction between them stays
+        # host-side (parallel/sharding.py; == unsharded on the virtual
+        # CPU mesh, tests/test_parallel.py)
+        from neuray_tpu.parallel.sharding import (
+            make_sharded_coarse_render_fn, make_sharded_fine_render_fn)
+        coarse_fn = make_sharded_coarse_render_fn(
+            renderer, mesh, keep_keys=keep_base + ("hit_prob_nr",))
+        fine_fn = make_sharded_fine_render_fn(
+            renderer, mesh,
+            keep_keys=tuple(k + "_fine" for k in keep_base))
+    else:
+        coarse_fn = make_coarse_render_fn(
+            renderer, keep_keys=keep_base + ("hit_prob_nr",))
+        fine_fn = make_fine_render_fn(
+            renderer, keep_keys=tuple(k + "_fine" for k in keep_base))
 
     coarse = coarse_fn(params, ref_c, que)
     hit_prob = coarse["hit_prob_nr"]          # device-resident [qn,rn,dn]
@@ -1235,27 +1254,48 @@ def estimate_false_skip(renderer: NeurayRenderer, params, ref_c, que,
 
 def estimate_window_clip(renderer: NeurayRenderer, params, ref_c, que,
                          keep_idx, near, far, threshold: float,
-                         sample_rays: int = 1024, seed: int = 0):
-    """Audit the probe's FOCUS WINDOWS: run the exact full-sample
-    coarse pass on a random sample of the KEPT rays and measure the
-    mean fraction of each ray's hit-probability mass that falls
-    OUTSIDE its [near, far] window. The focused render never samples
-    outside the window, so clipped mass is unrecoverable — the focus
-    mode's quality failure mode on weakly-trained / diffuse models
-    (measured: the full-coverage room scene loses ~0.8 dB to window
-    clipping while the false-SKIP audit reads 0.0, because every ray
-    is kept). Complements estimate_false_skip: together the two audits
-    cover both ways a probe-driven render can differ from the exact
-    one. Cost: ~sample_rays rays of coarse-only work.
+                         sample_rays: int = 1024, seed: int = 0,
+                         ref_psnr: float = 35.0):
+    """Audit the probe's FOCUS WINDOWS against the exact full-sample
+    coarse pass on a random sample of the KEPT rays, and PREDICT the
+    image-level PSNR cost of the windows in dB.
 
-    Rays whose exact coarse mass is below ``threshold`` are excluded
-    (they would have been skipped; their windows are irrelevant).
+    The focused render never samples outside its [near, far] window,
+    so hit-probability mass outside the window is unrecoverable — the
+    focus mode's quality failure mode on weakly-trained / diffuse
+    models (measured: the full-coverage room scene loses ~0.8 dB while
+    the false-SKIP audit reads 0.0, because every ray is kept).
+    Complements estimate_false_skip: together the two audits cover
+    both ways a probe-driven render can differ from the exact one.
+    Cost: ~sample_rays rays of coarse-only work.
+
+    Returns a dict:
+      * ``clip_mass``: mean fraction of per-ray hit mass outside the
+        window (rays whose exact mass is below ``threshold`` excluded
+        — they would have been skipped). The round-3/4 proxy metric,
+        kept for logging.
+      * ``clip_db``: predicted PSNR loss in dB. Per audited ray the
+        clipping-induced color error is computed EXACTLY from the
+        coarse pass (d_i = composite over all samples minus composite
+        over inside-window samples — per-sample radiance x hit prob),
+        scaled to the image (x kept-ray fraction; skipped rays are the
+        other audit's problem), and converted under the model
+        mse_total ~= mse_ref + mse_clip (clipping error uncorrelated
+        with the base render's GT error):
+            clip_db = 10 log10(1 + mse_clip x kept_frac / mse_ref),
+        with mse_ref = 10^(-ref_psnr/10). ``ref_psnr`` defaults to
+        35 dB — above every scene measured on this box (17-34 dB), so
+        the predicted loss is an overestimate wherever the real render
+        is worse (conservative: over-predicting can only reject focus
+        and fall back to the exact gate). Predicted-vs-realized is
+        validated on the room scene in docs/ARCHITECTURE.md
+        (tools/check_skip_quality.py --predict).
     """
     import numpy as np
     from neuray_tpu.ops import sampling as S
 
     if keep_idx.size == 0:
-        return 0.0
+        return {"clip_mass": 0.0, "clip_db": 0.0}
     rs = np.random.RandomState(seed)
     pick = (keep_idx if keep_idx.size <= sample_rays
             else rs.choice(keep_idx, sample_rays, replace=False))
@@ -1264,9 +1304,13 @@ def estimate_window_clip(renderer: NeurayRenderer, params, ref_c, que,
     pick_p = np.pad(pick, (0, n - pick.size), mode="edge")
     que_s = dict(que)
     que_s["coords"] = jnp.take(que["coords"], jnp.asarray(pick_p), axis=1)
-    coarse_fn = make_coarse_render_fn(renderer, keep_keys=("hit_prob_nr",))
+    coarse_fn = make_coarse_render_fn(
+        renderer, keep_keys=("hit_prob_nr", "colors_nr"))
+    out = coarse_fn(params, ref_c, que_s)
     hp = np.asarray(jax.device_get(
-        coarse_fn(params, ref_c, que_s)["hit_prob_nr"]))[0, :pick.size]
+        out["hit_prob_nr"]))[0, :pick.size]                # n, dn
+    cols = np.asarray(jax.device_get(
+        out["colors_nr"]), np.float32)[0, :pick.size]      # n, dn, 3
     # the exact coarse depths are the deterministic stratified
     # inverse-depth grid — recompute host-side (ops/sampling)
     depth = np.asarray(jax.device_get(S.sample_depth(
@@ -1278,10 +1322,19 @@ def estimate_window_clip(renderer: NeurayRenderer, params, ref_c, que,
     mass = hp.sum(-1)
     mass_in = (hp * inside).sum(-1)
     valid = mass > threshold
-    if not valid.any():
-        return 0.0
-    clip = 1.0 - mass_in[valid] / np.maximum(mass[valid], 1e-8)
-    return float(clip.mean())
+    clip_mass = 0.0
+    if valid.any():
+        clip = 1.0 - mass_in[valid] / np.maximum(mass[valid], 1e-8)
+        clip_mass = float(clip.mean())
+    # predicted dB: exact composite vs inside-window composite
+    e = np.einsum("nd,ndc->nc", hp, cols)
+    f = np.einsum("nd,ndc->nc", hp * inside, cols)
+    mse_clip = float(np.mean((e - f) ** 2))
+    kept_frac = keep_idx.size / que["coords"].shape[1]
+    mse_ref = 10.0 ** (-ref_psnr / 10.0)
+    clip_db = float(10.0 * np.log10(
+        1.0 + mse_clip * kept_frac / mse_ref))
+    return {"clip_mass": clip_mass, "clip_db": clip_db}
 
 
 def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
@@ -1294,7 +1347,8 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
                             max_probe_sample_num: int = 32,
                             validate_rays: int = 2048, seed: int = 0,
                             probe_stride: int = 1,
-                            win_tol: float = 0.01):
+                            win_tol_db: float = 0.05,
+                            win_ref_psnr: float = 35.0):
     """SELF-VALIDATING probe-skip/focus render — removes the
     scene-tuned probe_sample_num knob.
 
@@ -1305,8 +1359,8 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
     is blind; measured on the full-coverage room scene,
     docs/ARCHITECTURE.md). This driver probes, AUDITS random samples
     against the exact full-sample coarse gate (estimate_false_skip on
-    skipped rays; estimate_window_clip <= win_tol on kept rays when
-    ``focus``), and:
+    skipped rays; predicted window-clip PSNR cost <= win_tol_db dB on
+    kept rays when ``focus`` — estimate_window_clip), and:
       - accepts the probe if the measured false-skip rate <= tol,
       - otherwise doubles probe_sample_num (recompiled probe variant;
         the encoded scene is reused) and re-audits,
@@ -1323,7 +1377,9 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
     — still 2.1x the full render).
 
     Returns the frame dict plus: probe_sample_num (accepted value),
-    false_skip_rate (last audit), fallback ("two_phase" or None).
+    false_skip_rate (last audit), fallback ("two_phase" or None), and
+    in focus mode window_clip (mass fraction) / window_clip_db
+    (predicted PSNR cost, the gated value).
     """
     import numpy as np
 
@@ -1370,7 +1426,7 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
                                  threshold, validate_rays, seed)
         info["false_skip_rate"] = fs
         info["probe_sample_num"] = psn
-        wc = 0.0
+        wc_db = 0.0
         if focus and fs <= tol:
             # second audit, for the focus mode's OTHER failure mode:
             # windows clipping real hit mass (a diffuse / weakly
@@ -1384,9 +1440,11 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
                 far_a = np.asarray(jax.device_get(probe_out[2]))
             wc = estimate_window_clip(
                 r, params, ref_c, que, np.nonzero(keep_mask)[0],
-                near_a, far_a, threshold, seed=seed)
-            info["window_clip"] = wc
-        if fs <= tol and wc <= win_tol:
+                near_a, far_a, threshold, seed=seed,
+                ref_psnr=win_ref_psnr)
+            info["window_clip"] = wc["clip_mass"]
+            info["window_clip_db"] = wc_db = wc["clip_db"]
+        if fs <= tol and wc_db <= win_tol_db:
             if focus:
                 out = render_frame_probe_focus(
                     r, params, ref_c, que, threshold=threshold,
@@ -1405,7 +1463,8 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
         if psn * 2 > max_probe_sample_num:
             out = render_frame_skip_empty(
                 renderer, params, ref_c, que, threshold=threshold,
-                bucket_chunks=bucket_chunks, keep_base=keep_base)
+                bucket_chunks=bucket_chunks, keep_base=keep_base,
+                mesh=mesh)
             info["fallback"] = "two_phase"
             out.update(info)
             return out

@@ -286,6 +286,126 @@ def make_sharded_focus_render_fn(renderer: NeurayRenderer, mesh: Mesh,
     return fn
 
 
+def make_sharded_coarse_render_fn(renderer: NeurayRenderer, mesh: Mesh,
+                                  keep_keys=("pixel_colors_nr",
+                                             "hit_prob_nr")):
+    """Sharded COARSE-ONLY pass over a pre-encoded scene — the scoring
+    leg of the exact two-phase gate (renderer.render_frame_skip_empty
+    with mesh=...): (params, ref_c, que) -> coarse outputs incl. the
+    per-ray hit_prob_nr [qn, rn, dn]. Scene replicated, ray axis
+    sharded, no collectives (pure ray data-parallel)."""
+    key = (renderer.cfg, tuple(keep_keys), mesh.shape_tuple, "coarse")
+    if key in _SHARDED_RENDER_CACHE:
+        return _SHARDED_RENDER_CACHE[key]
+
+    from neuray_tpu.ops import sampling as S
+
+    c = renderer.cfg
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def impl(params, ref_c, que):
+        qn, rn, _ = que["coords"].shape
+        per_dev = -(-rn // (n_dev * c.ray_batch_num)) * c.ray_batch_num
+        pad = n_dev * per_dev - rn
+        coords = jnp.pad(que["coords"], ((0, 0), (0, pad), (0, 0)),
+                         mode="edge")
+        coords = coords.reshape(qn, n_dev, per_dev, 2).transpose(1, 0, 2, 3)
+        que_base = {k: v for k, v in que.items() if k != "coords"}
+
+        def render_shard(coords_shard):
+            chunks, _ = chunk_coords(coords_shard[0], c.ray_batch_num)
+
+            def render_one(cc):
+                q = dict(que_base)
+                q["coords"] = cc
+                qnc, rnc, _ = cc.shape
+                que_depth, _ = S.sample_depth(
+                    q["depth_range"], qnc, rnc, c.depth_sample_num, False)
+                out = renderer.apply(
+                    params, que_depth, q, ref_c, False, False,
+                    method=NeurayRenderer._render_by_depth)
+                return {k: v for k, v in out.items() if k in keep_keys}
+
+            outs = jax.lax.map(render_one, chunks)
+            return jax.tree.map(
+                lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                    x.shape[1], -1, *x.shape[3:])[None], outs)
+
+        outs = jax.shard_map(
+            render_shard, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis),
+            check_vma=False)(coords)
+        outs = jax.tree.map(
+            lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                x.shape[1], -1, *x.shape[3:])[:, :rn], outs)
+        return outs
+
+    fn = jax.jit(impl)
+    _SHARDED_RENDER_CACHE[key] = fn
+    return fn
+
+
+def make_sharded_fine_render_fn(renderer: NeurayRenderer, mesh: Mesh,
+                                keep_keys=("pixel_colors_nr_fine",)):
+    """Sharded FINE-ONLY pass (renderer.render_chunk_fine) — the kept
+    leg of the exact two-phase gate: (params, ref_c, que_kept,
+    hit_prob_kept) -> fine outputs [qn, rn_kept, ...]. The kept-ray
+    compaction stays host-side (render_frame_skip_empty); this just
+    spreads the compacted rays over the mesh."""
+    key = (renderer.cfg, tuple(keep_keys), mesh.shape_tuple, "fine")
+    if key in _SHARDED_RENDER_CACHE:
+        return _SHARDED_RENDER_CACHE[key]
+
+    c = renderer.cfg
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def impl(params, ref_c, que, hit_prob):
+        qn, rn, _ = que["coords"].shape
+        per_dev = -(-rn // (n_dev * c.ray_batch_num)) * c.ray_batch_num
+        pad = n_dev * per_dev - rn
+        coords = jnp.pad(que["coords"], ((0, 0), (0, pad), (0, 0)),
+                         mode="edge")
+        coords = coords.reshape(qn, n_dev, per_dev, 2).transpose(1, 0, 2, 3)
+        hp = jnp.pad(hit_prob, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        hp = hp.reshape(qn, n_dev, per_dev, -1).transpose(1, 0, 2, 3)
+        que_base = {k: v for k, v in que.items() if k != "coords"}
+
+        def render_shard(coords_shard, hp_shard):
+            chunks, _ = chunk_coords(coords_shard[0], c.ray_batch_num)
+            n_chunks = chunks.shape[0]
+            hp_chunks = hp_shard[0].reshape(
+                qn, n_chunks, c.ray_batch_num, -1).transpose(1, 0, 2, 3)
+
+            def render_one(args):
+                cc, hpc = args
+                q = dict(que_base)
+                q["coords"] = cc
+                out = renderer.apply(
+                    params, ref_c, q, hpc,
+                    method=NeurayRenderer.render_chunk_fine)
+                return {k: v for k, v in out.items() if k in keep_keys}
+
+            outs = jax.lax.map(render_one, (chunks, hp_chunks))
+            return jax.tree.map(
+                lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                    x.shape[1], -1, *x.shape[3:])[None], outs)
+
+        outs = jax.shard_map(
+            render_shard, mesh=mesh,
+            in_specs=(P(axis), P(axis)), out_specs=P(axis),
+            check_vma=False)(coords, hp)
+        outs = jax.tree.map(
+            lambda x: x.transpose(1, 0, *range(2, x.ndim)).reshape(
+                x.shape[1], -1, *x.shape[3:])[:, :rn], outs)
+        return outs
+
+    fn = jax.jit(impl)
+    _SHARDED_RENDER_CACHE[key] = fn
+    return fn
+
+
 # ------------------------- DP training step -------------------------
 
 

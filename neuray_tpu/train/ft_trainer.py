@@ -66,17 +66,21 @@ class FtTrainer:
         opt_state = self.optimizer.init(params)
         # multi-chip: shard the FT ray batch over the mesh (the batch
         # is one scene, so rays are the natural axis; losses/grads
-        # psum — models/ft.py make_sharded_train_step). Falls back to
-        # the single-device step when the ray count doesn't split.
+        # psum — models/ft.py make_sharded_train_step). Non-divisible
+        # ray counts are padded up to the device count with 0-weight
+        # rays, so the sharded path is always taken on >1 device.
         n_dev = cfg.get("n_devices") or len(jax.devices())
-        self._dp = (n_dev > 1
-                    and self.ft.cfg["train_ray_num"] % n_dev == 0)
+        self._dp = n_dev > 1
         if self._dp:
             from neuray_tpu.parallel.sharding import make_mesh
             mesh = make_mesh(n_dev)
             step_fn = self.ft.make_sharded_train_step(
                 self.optimizer, mesh)
-            print(f"ft training ray-sharded over {n_dev} devices",
+            rn = self.ft.cfg["train_ray_num"]
+            pad = (-rn) % n_dev
+            note = (f" (ray batch {rn} padded +{pad} to split evenly; "
+                    "pad rays weighted out of the loss)" if pad else "")
+            print(f"ft training ray-sharded over {n_dev} devices{note}",
                   flush=True)
         else:
             step_fn = self.ft.make_train_step(

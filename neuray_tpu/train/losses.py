@@ -13,17 +13,24 @@ import jax.numpy as jnp
 from neuray_tpu.ops.interpolate import grid_sample_nhwc
 
 
-def _ray_mean(x, axis_name):
+def _ray_mean(x, axis_name, weight=None):
     """Mean over the ray axis (1). With ``axis_name`` the ray axis is
     SHARDED over a device mesh: numerator and count psum over the mesh
     so every device holds the identical GLOBAL mean — the building
-    block of the ray-sharded FT train step (models/ft.py)."""
-    if axis_name is None:
+    block of the ray-sharded FT train step (models/ft.py).
+
+    ``weight`` (qn,rn in {0,1}) drops padded rays from BOTH numerator
+    and count, so a ray batch padded up to the device count yields the
+    exact unpadded loss (models/ft.py make_sharded_train_step)."""
+    if weight is None and axis_name is None:
         return jnp.mean(x, 1)
-    import jax
-    s = jax.lax.psum(jnp.sum(x, 1), axis_name)
-    n = jax.lax.psum(jnp.full(x.shape[:1], x.shape[1], jnp.float32),
-                     axis_name)
+    w = jnp.ones_like(x) if weight is None else weight
+    s = jnp.sum(x * w, 1)
+    n = jnp.sum(w, 1)
+    if axis_name is not None:
+        import jax
+        s = jax.lax.psum(s, axis_name)
+        n = jax.lax.psum(n, axis_name)
     return s / n
 
 
@@ -35,11 +42,14 @@ def render_loss(cfg: Dict[str, Any], axis_name: str | None = None):
 
     def fn(data_pr: Dict, data_gt: Dict) -> Dict[str, jnp.ndarray]:
         rgb_gt = data_pr["pixel_colors_gt"]
+        weight = data_pr.get("ray_weight")                   # qn,rn or None
 
         def compute(rgb_pr):
             loss = jnp.sum((rgb_pr - rgb_gt) ** 2, -1)       # qn,rn
             if use_ray_mask:
                 rm = data_pr["ray_mask"].astype(jnp.float32)
+                if weight is not None:
+                    rm = rm * weight
                 num = jnp.sum(loss * rm, 1)
                 den = jnp.sum(rm, 1)
                 if axis_name is not None:
@@ -47,7 +57,7 @@ def render_loss(cfg: Dict[str, Any], axis_name: str | None = None):
                     num = jax.lax.psum(num, axis_name)
                     den = jax.lax.psum(den, axis_name)
                 return num / (den + 1e-3)
-            return _ray_mean(loss, axis_name)
+            return _ray_mean(loss, axis_name, weight)
 
         out = {"loss_rgb_nr": compute(data_pr["pixel_colors_nr"])}
         if use_dr:
@@ -128,11 +138,12 @@ def consistency_loss(cfg: Dict[str, Any], axis_name: str | None = None):
     def fn(data_pr: Dict, data_gt: Dict) -> Dict[str, jnp.ndarray]:
         if "hit_prob_self" not in data_pr:
             return {}
+        weight = data_pr.get("ray_weight")
 
         def ce_loss(p0, p1):
             ce = (- p0 * jnp.log(p1 + 1e-5)
                   - (1 - p0) * jnp.log(1 - p1 + 1e-5))
-            return _ray_mean(jnp.mean(ce, -1), axis_name)
+            return _ray_mean(jnp.mean(ce, -1), axis_name, weight)
 
         import jax
         out = {"loss_prob": ce_loss(

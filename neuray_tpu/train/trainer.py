@@ -47,25 +47,69 @@ class Prefetcher:
 
     ``workers`` threads call dataset[i] concurrently — image decode /
     resize (cv2, numpy) release the GIL, so N threads scale sample
-    production on multi-core TPU hosts. Samples are delivered IN ORDER
-    regardless of worker count (a heap-free reorder buffer keyed by
-    index), so the training stream is worker-count independent; the
+    production on multi-core TPU hosts (GIL-release fraction of the
+    decode path measured on this box: tools/bench_input_pipeline.py
+    --gil, recorded in docs/ARCHITECTURE.md). Samples are delivered IN
+    ORDER regardless of worker count (a heap-free reorder buffer keyed
+    by index), so the training stream is worker-count independent; the
     dataset's per-__getitem__ rng objects make concurrent production
-    deterministic per index."""
+    deterministic per index.
 
-    def __init__(self, dataset, maxsize: int = 8, workers: int = 1):
+    ``processes > 0`` forks that many OS worker processes instead
+    (fork start method — the dataset is inherited, not pickled; each
+    sample rides a pipe back as numpy arrays), sidestepping the GIL
+    entirely for datasets whose __getitem__ holds it — the analog of
+    the reference's torch DataLoader num_workers (reference
+    trainer.py:34-44). Same in-order delivery."""
+
+    def __init__(self, dataset, maxsize: int = 8, workers: int = 1,
+                 processes: int = 0):
         self.dataset = dataset
-        self.maxsize = max(maxsize, workers)
+        self.maxsize = max(maxsize, workers, processes)
         self.stop = threading.Event()
         self._cond = threading.Condition()
         self._next_produce = 0
         self._next_deliver = 0
         self._buf: dict = {}
-        self.threads = [
-            threading.Thread(target=self._run, daemon=True)
-            for _ in range(max(1, workers))]
+        self._procs = []
+        if processes > 0:
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            self._task_q = ctx.Queue()
+            self._res_q = ctx.Queue()
+            n = len(dataset)
+            for _ in range(processes):
+                p = ctx.Process(
+                    target=_prefetch_proc_worker,
+                    args=(dataset, n, self._task_q, self._res_q),
+                    daemon=True)
+                p.start()
+                self._procs.append(p)
+            # seed the pipeline, then a collector thread refills one
+            # task per result so at most ``maxsize`` are in flight
+            for _ in range(self.maxsize):
+                self._task_q.put(self._next_produce)
+                self._next_produce += 1
+            self.threads = [threading.Thread(target=self._collect,
+                                             daemon=True)]
+        else:
+            self.threads = [
+                threading.Thread(target=self._run, daemon=True)
+                for _ in range(max(1, workers))]
         for t in self.threads:
             t.start()
+
+    def _collect(self):
+        while not self.stop.is_set():
+            try:
+                idx, sample = self._res_q.get(timeout=0.5)
+            except Exception:
+                continue
+            with self._cond:
+                self._buf[idx] = sample
+                self._task_q.put(self._next_produce)
+                self._next_produce += 1
+                self._cond.notify_all()
 
     def _run(self):
         n = len(self.dataset)
@@ -100,6 +144,18 @@ class Prefetcher:
         # code (cv2 decode) at interpreter exit can abort the process
         for t in self.threads:
             t.join(timeout=2.0)
+        for p in self._procs:
+            p.terminate()
+            p.join(timeout=2.0)
+
+
+def _prefetch_proc_worker(dataset, n, task_q, res_q):
+    """Fork-mode producer: pull an index, push (idx, dataset[idx % n])."""
+    while True:
+        idx = task_q.get()
+        if idx is None:
+            return
+        res_q.put((idx, dataset[idx % n]))
 
 
 class Logger:
@@ -241,7 +297,9 @@ class Trainer:
     def run(self):
         cfg = self.cfg
         prefetcher = Prefetcher(self.train_dataset,
-                                workers=self.cfg["worker_num"])
+                                workers=self.cfg["worker_num"],
+                                processes=self.cfg.get("worker_processes",
+                                                       0))
         first = self.train_dataset[0]
 
         restored = self._load()

@@ -180,16 +180,16 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
     split = (encode_fn, rays_fn)
 
     skip_mode = cfg.get("skip_mode", "two_phase")
+    if "skip_auto_win_tol" in cfg:
+        print("NOTE: skip_auto_win_tol (hit-mass fraction) was replaced "
+              "by skip_auto_win_tol_db (predicted PSNR cost, dB; "
+              "default 0.05) — the old knob is ignored", flush=True)
     use_skip_empty = (cfg.get("skip_empty_rays", False)
                       and render_cfg.use_hierarchical_sampling)
     if use_skip_empty and multi and skip_mode == "two_phase":
-        # the exact two-phase gate is a single-device driver; on a mesh
-        # the sharded full render is the exact path — announce the
-        # change instead of silently dropping the flag
-        print("skip_mode=two_phase is single-device; mesh render uses "
-              "the exact sharded full render instead "
-              "(probe/focus/auto modes DO shard)", flush=True)
-        use_skip_empty = False
+        print("skip_mode=two_phase: coarse gate + kept fine pass shard "
+              "the ray axis over the mesh (compaction host-side)",
+              flush=True)
 
     use_src_imgs = cfg.get("use_src_imgs", False) or \
         render_cfg.init_net_type == "cost_volume"
@@ -208,6 +208,11 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
     # nothing numerically. Keyed by the ref id tuple.
     enc_key = None
     ref = src = ref_c = None
+    # fresh audit log per run: append-mode writes below would otherwise
+    # accumulate stale entries from prior renders into the same dir
+    audit_path = f"{output_dir}/auto_audit.jsonl"
+    if skip_mode in ("auto", "auto_focus") and os.path.exists(audit_path):
+        os.remove(audit_path)
     for qi in range(rb, re):
         if os.path.exists(f"{output_dir}/{qi}-nr_fine.jpg"):
             continue
@@ -275,7 +280,8 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                     keep_base=tuple(keep_base), image_hw=(h, w),
                     dilate=p_dilate, focus=skip_mode == "auto_focus",
                     tol=cfg.get("skip_auto_tol", 0.02),
-                    win_tol=cfg.get("skip_auto_win_tol", 0.01),
+                    win_tol_db=cfg.get("skip_auto_win_tol_db", 0.05),
+                    win_ref_psnr=cfg.get("skip_auto_win_ref_psnr", 35.0),
                     probe_stride=p_stride, mesh=skip_mesh)
                 if out["fallback"] is None:
                     if out["probe_sample_num"] != \
@@ -300,11 +306,15 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                         "frame": qi,
                         "probe_sample_num": out["probe_sample_num"],
                         "false_skip_rate": out["false_skip_rate"],
+                        # in auto_focus mode window_clip_db can be THE
+                        # rejection reason — log it alongside
+                        "window_clip": out.get("window_clip"),
+                        "window_clip_db": out.get("window_clip_db"),
                         "fallback": out["fallback"]}) + "\n")
             elif skip_mode in ("auto", "auto_focus") and auto_fallback:
                 out = render_frame_skip_empty(
                     renderer, params, ref_c, que, threshold=skip_th,
-                    keep_base=tuple(keep_base))
+                    keep_base=tuple(keep_base), mesh=skip_mesh)
             elif skip_mode in ("probe_focus", "auto_focus"):
                 out = render_frame_probe_focus(
                     renderer_skip, params, ref_c, que, threshold=skip_th,
@@ -319,7 +329,7 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
             else:
                 out = render_frame_skip_empty(
                     renderer, params, ref_c, que, threshold=skip_th,
-                    keep_base=tuple(keep_base))
+                    keep_base=tuple(keep_base), mesh=skip_mesh)
         else:
             if ref_c is None:
                 ref_c = encode_fn(params, ref, src)

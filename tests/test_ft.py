@@ -102,12 +102,19 @@ def test_ft_train_step(fake_scene, monkeypatch):
     assert np.abs(after - ray_feats_before).max() > 0
 
 
-def test_ft_sharded_step_matches_single_device(fake_scene, monkeypatch):
+@pytest.mark.parametrize("train_ray_num", [32, 30])
+def test_ft_sharded_step_matches_single_device(fake_scene, monkeypatch,
+                                               train_ray_num):
     """Ray-sharded FT train step (make_sharded_train_step, 8-device
     mesh): with a deterministic program (no stochastic fine resample)
     the GLOBAL loss value and the updated params must match the
     single-device step exactly (the psum'd ray reductions in
-    train/losses.py reproduce the unsharded normalizations)."""
+    train/losses.py reproduce the unsharded normalizations).
+
+    train_ray_num=30 exercises the NON-divisible path: the batch is
+    padded +2 rays to split over 8 devices, and the 0-weight pad rays
+    must drop out of every loss normalization so the result is still
+    leaf-exact vs the unpadded single-device step."""
     from neuray_tpu.data import database as D
     monkeypatch.setattr(D, "DATA_ROOT", fake_scene)
     from neuray_tpu.models.ft import FtRenderer
@@ -120,7 +127,7 @@ def test_ft_sharded_step_matches_single_device(fake_scene, monkeypatch):
         "gen_cfg": None,
         "use_validation": False,
         "neighbor_view_num": 4,
-        "train_ray_num": 32,
+        "train_ray_num": train_ray_num,
         "ray_feats_res": [8, 8],
         "ray_feats_dim": 32,
         "use_self_hit_prob": True,

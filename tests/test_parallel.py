@@ -147,6 +147,43 @@ def test_sharded_probe_skip_matches_unsharded(setup):
         out_plain["pixel_colors_nr_fine"], rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_two_phase_matches_unsharded(setup):
+    """The EXACT two-phase gate with mesh=: the coarse scoring pass and
+    the kept fine pass shard the ray axis (host-side compaction
+    unchanged) — kept set and outputs must equal the single-device
+    driver at the same threshold (VERDICT r4 next #6)."""
+    from neuray_tpu.models.renderer import (
+        make_scene_encode_fn, make_coarse_render_fn,
+        render_frame_skip_empty)
+    renderer, params, ref, que = setup
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(7)
+    que_np = make_query(rng, 32, 32, rn=0, full_image=True)
+    que_full = {k: jnp.asarray(v) for k, v in que_np.items()
+                if k != "imgs"}
+
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+    # threshold at the widest mid-range score gap so last-ulp
+    # shard/plain differences cannot flip any keep decision
+    hp = np.asarray(make_coarse_render_fn(
+        renderer, keep_keys=("hit_prob_nr",))(
+            params, ref_c, que_full)["hit_prob_nr"])
+    s = np.sort(hp[0].sum(-1))
+    lo, hi = len(s) // 4, 3 * len(s) // 4
+    gi = lo + int(np.argmax(np.diff(s[lo:hi])))
+    th = float((s[gi] + s[gi + 1]) / 2)
+
+    out_plain = render_frame_skip_empty(renderer, params, ref_c,
+                                        que_full, threshold=th)
+    out_shard = render_frame_skip_empty(renderer, params, ref_c,
+                                        que_full, threshold=th,
+                                        mesh=mesh)
+    assert out_shard["kept_rays"] == out_plain["kept_rays"]
+    for k in ("pixel_colors_nr", "pixel_colors_nr_fine"):
+        np.testing.assert_allclose(out_shard[k], out_plain[k],
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_sharded_focus_matches_unsharded(setup):
     """The probe-FOCUSED multi-chip legs: sharded focus probe returns
     the same (score, near, far) as the plain one, and the sharded

@@ -457,7 +457,7 @@ def test_probe_auto_render(rng):
     # window-clip audit (clipped hit mass on kept rays)
     out_f = render_frame_probe_auto(
         renderer, params, ref_c, que, threshold=0.3, dilate=0, tol=1.0,
-        focus=True, win_tol=1.0)
+        focus=True, win_tol_db=1e9)
     assert out_f["fallback"] is None
     assert 0.0 <= out_f["window_clip"] <= 1.0
     assert np.isfinite(out_f["pixel_colors_nr_fine"]).all()
@@ -468,7 +468,7 @@ def test_probe_auto_render(rng):
     # skips and the false-skip audit alone would accept)
     out_wf = render_frame_probe_auto(
         renderer, params, ref_c, que, threshold=0.3, dilate=0, tol=1.0,
-        focus=True, win_tol=-1.0, max_probe_sample_num=8)
+        focus=True, win_tol_db=-1.0, max_probe_sample_num=8)
     assert out_wf["fallback"] == "two_phase"
     assert out_wf["kept_rays"] == out_tp["kept_rays"]
 

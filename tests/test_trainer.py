@@ -181,3 +181,18 @@ def test_prefetcher_multiworker_order_and_overlap():
     got1 = [pf1.next()["index"] for _ in range(12)]
     pf1.close()
     assert got1 == [i % 6 for i in range(12)]
+
+    # fork-based process workers (the GIL-free path, cfg
+    # worker_processes): same in-order stream, numpy payloads intact
+    class NpDataset:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {"index": i, "img": np.full((4, 4), i, np.float32)}
+
+    pfp = Prefetcher(NpDataset(), maxsize=4, processes=2)
+    got_p = [pfp.next() for _ in range(10)]
+    pfp.close()
+    assert [s["index"] for s in got_p] == [i % 5 for i in range(10)]
+    assert all(float(s["img"][0, 0]) == s["index"] for s in got_p)

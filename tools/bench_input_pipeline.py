@@ -77,6 +77,10 @@ def main():
     parser.add_argument("--views", type=int, default=250)
     parser.add_argument("--scenes", type=int, default=1)
     parser.add_argument("--samples", type=int, default=16)
+    parser.add_argument("--gil", action="store_true",
+                        help="estimate the GIL-released fraction of "
+                             "the decode/resize path (spinner-thread "
+                             "method; see ARCHITECTURE.md)")
     flags = parser.parse_args()
 
     import jax
@@ -109,8 +113,7 @@ def main():
                       "sample_s": round(per, 4),
                       "samples_per_s": round(1 / per, 3)}), flush=True)
 
-    for workers in (1, 2, 4):
-        pf = Prefetcher(ds, maxsize=8, workers=workers)
+    def drain(pf, tag):
         try:
             # drain the whole prefilled queue first, or the timed drain
             # starts with maxsize free samples and overstates the rate
@@ -123,9 +126,58 @@ def main():
         finally:
             pf.close()
         per = dt / flags.samples
-        print(json.dumps({"mode": f"prefetcher_w{workers}",
+        print(json.dumps({"mode": tag,
                           "sample_s": round(per, 4),
                           "samples_per_s": round(1 / per, 3)}),
+              flush=True)
+
+    for workers in (1, 2, 4):
+        drain(Prefetcher(ds, maxsize=8, workers=workers),
+              f"prefetcher_w{workers}")
+
+    # fork-based workers: the GIL-free analog of torch DataLoader
+    # num_workers (on this 1-core box the rate cannot exceed the
+    # single-thread rate minus pipe overhead; the row demonstrates the
+    # path works and bounds its IPC cost — scaling needs real cores)
+    for procs in (1, 2, 4):
+        drain(Prefetcher(ds, maxsize=8, processes=procs),
+              f"prefetcher_p{procs}")
+
+    if flags.gil:
+        # GIL-release profile of dataset[i]: a background spinner
+        # thread counts while the main thread produces samples. If the
+        # decode/resize path held the GIL the spinner would make ~no
+        # progress during production; the ratio of its in-production
+        # rate to its idle rate (x2, since on 1 core a released GIL
+        # still shares the core ~50/50) estimates the fraction of the
+        # sample wall time that RELEASES the GIL — the quantity thread
+        # scaling on a real multi-core host depends on.
+        import threading
+        counter = {"n": 0, "stop": False}
+
+        def spin():
+            while not counter["stop"]:
+                counter["n"] += 1
+
+        t = threading.Thread(target=spin, daemon=True)
+        t.start()
+        time.sleep(1.0)
+        idle0 = counter["n"]
+        time.sleep(2.0)
+        idle_rate = (counter["n"] - idle0) / 2.0
+        n0 = counter["n"]
+        t0 = time.perf_counter()
+        for i in range(flags.samples):
+            ds[i + 1]
+        dt = time.perf_counter() - t0
+        busy_rate = (counter["n"] - n0) / dt
+        counter["stop"] = True
+        t.join(timeout=1.0)
+        released = min(1.0, 2.0 * busy_rate / max(idle_rate, 1.0))
+        print(json.dumps({"mode": "gil_profile",
+                          "spinner_idle_per_s": round(idle_rate, 0),
+                          "spinner_busy_per_s": round(busy_rate, 0),
+                          "est_gil_released_frac": round(released, 3)}),
               flush=True)
 
 

@@ -62,9 +62,10 @@ def main():
                          "accepted probe size, audited false-skip "
                          "rate, and whether it escalated/fell back")
     ap.add_argument("--auto-tol", type=float, default=0.02)
-    ap.add_argument("--auto-win-tol", type=float, default=0.01,
-                    help="max mean clipped hit mass on kept rays "
-                         "before the focus windows are rejected")
+    ap.add_argument("--auto-win-tol-db", type=float, default=0.05,
+                    help="max PREDICTED PSNR cost (dB) of the focus "
+                         "windows on kept rays before they are "
+                         "rejected (estimate_window_clip clip_db)")
     ap.add_argument("--weights", default=None)
     ap.add_argument("--scene", default="sphere",
                     choices=["sphere", "blobs", "room"],
@@ -182,13 +183,13 @@ def main():
                 out = render_frame_probe_auto(
                     renderer_a, params, ref_ca, que_all, threshold=th,
                     image_hw=(h, w), dilate=1, focus=True,
-                    tol=flags.auto_tol, win_tol=flags.auto_win_tol,
+                    tol=flags.auto_tol, win_tol_db=flags.auto_win_tol_db,
                     probe_stride=stride)
                 t0 = time.perf_counter()
                 out = render_frame_probe_auto(
                     renderer_a, params, ref_ca, que_all, threshold=th,
                     image_hw=(h, w), dilate=1, focus=True,
-                    tol=flags.auto_tol, win_tol=flags.auto_win_tol,
+                    tol=flags.auto_tol, win_tol_db=flags.auto_win_tol_db,
                     probe_stride=stride)
                 dt = time.perf_counter() - t0
                 img = out["pixel_colors_nr_fine"][0]
@@ -197,6 +198,8 @@ def main():
                     "accepted_probe_samples": out["probe_sample_num"],
                     "false_skip_rate": round(out["false_skip_rate"], 4),
                     "window_clip": round(out.get("window_clip", 0.0), 4),
+                    "window_clip_db": round(
+                        out.get("window_clip_db", 0.0), 4),
                     "fallback": out["fallback"], "threshold": th,
                     "probe_stride": stride,
                     "kept_fraction": round(

@@ -1,0 +1,227 @@
+"""END-TO-END trajectory escalation check with REAL trained weights.
+
+Complements tests/test_auto_reaudit.py (which verifies the per-frame
+re-audit / sticky-up / fallback CONTROL plumbing with scripted audit
+outcomes): here the escalation must happen for PHYSICS reasons, not by
+script. The camera stays on the radius-4 shell of the trained blobs
+scene and PANS from a view that does NOT contain the thin r=0.08
+sphere (constructed by projecting every sphere against the frustum) to
+a view centered on it. With skip_mode=auto_focus semantics the early
+frames should accept a small probe (the audit sees no missed
+geometry); the frame where the thin sphere ENTERS the frustum must
+re-escalate the probe ladder — a genuine, unscripted mid-trajectory
+escalation driven by the per-frame audit.
+
+Per frame this logs (JSON): the starting probe size (sticky-up from
+the previous accept), the accepted size, the audited false-skip rate,
+the predicted window-clip dB, fallback, kept fraction, and GT-PSNR
+(the scene is analytic, so exact GT exists for every pose).
+
+Usage (TPU): python tools/check_trajectory_escalation.py [--size 400]
+       [--frames 7] [--cpu]   (CPU forces a small size)
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+
+
+def look_at_pose(cam_pos, target):
+    z = target - cam_pos
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(up, z)) > 0.98:
+        up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], 0)
+    t = -R @ cam_pos
+    return np.concatenate([R, t[:, None]], 1).astype(np.float32)
+
+
+def sphere_in_frustum(pose, K, h, w, center, radius, margin=0.0):
+    """Conservative test: does the sphere's projected disc intersect
+    the image rectangle (grown by ``margin`` px)?"""
+    c_cam = pose[:, :3] @ center + pose[:, 3]
+    if c_cam[2] <= radius:          # behind / enclosing the camera
+        return True
+    uv = K @ c_cam
+    u, v = uv[0] / uv[2], uv[1] / uv[2]
+    # projected radius (pinhole small-disc bound)
+    pr = K[0, 0] * radius / max(c_cam[2] - radius, 1e-3)
+    return (-margin - pr <= u <= w - 1 + margin + pr
+            and -margin - pr <= v <= h - 1 + margin + pr)
+
+
+def psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=400)
+    ap.add_argument("--frames", type=int, default=7)
+    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--tol", type=float, default=0.02)
+    ap.add_argument("--win-tol-db", type=float, default=0.05)
+    ap.add_argument("--probe-stride", type=int, default=2)
+    ap.add_argument("--weights", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    flags = ap.parse_args()
+    if flags.weights is None:
+        flags.weights = os.path.join(TOOLS, "bench_weights_blobs.npz")
+
+    import jax
+    if flags.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from neuray_tpu.models.renderer import (
+        NeurayRenderer, RenderConfig, make_scene_encode_fn,
+        render_frame_probe_auto)
+    from neuray_tpu.data.synthetic import (
+        make_sphere_scene, make_blob_spheres, render_spheres_view,
+        DEPTH_RANGE, RADIUS)
+    from neuray_tpu.utils.params_io import load_params_npz
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    h = w = flags.size if on_tpu else min(flags.size, 64)
+    dn = 64 if on_tpu else 16
+    chunk = flags.chunk if on_tpu else 64
+
+    cfg = RenderConfig(
+        use_hierarchical_sampling=True, depth_sample_num=dn,
+        fine_depth_sample_num=dn, ray_batch_num=chunk,
+        probe_sample_num=8, focus_sample_num=min(16, dn),
+        focus_fine_sample_num=min(32, dn),
+        use_vis=False, fine_use_vis=False, use_bf16=on_tpu,
+        gather_quant="u8" if on_tpu else "none")
+    renderer = NeurayRenderer(cfg)
+    params = load_params_npz(flags.weights)
+
+    spheres = make_blob_spheres(np.random.RandomState(42))
+    thin = spheres[0]
+    big = max(spheres[1:], key=lambda s: s[1])
+    ref = {k: jnp.asarray(v) for k, v in
+           make_sphere_scene(np.random.RandomState(0), 8, h, w,
+                             spheres, DEPTH_RANGE).items()}
+    ref_c = make_scene_encode_fn(renderer)(params, ref)
+
+    # camera position: on the shell, roughly opposite the thin->big
+    # axis so panning from big to thin sweeps the thin sphere INTO the
+    # frustum. Search a few shell points for one where the start view
+    # contains the big sphere but NOT the thin one.
+    K = np.array([[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]],
+                 np.float32)
+    t0 = np.asarray(big[0], np.float64)
+    t1 = np.asarray(thin[0], np.float64)
+    rs = np.random.RandomState(7)
+    cam = None
+    for _ in range(256):
+        d = rs.randn(3)
+        d /= np.linalg.norm(d)
+        c = d * RADIUS
+        pose0 = look_at_pose(c, t0 + 1.2 * (t0 - t1))
+        ok_big = sphere_in_frustum(pose0, K, h, w, np.asarray(big[0]),
+                                   big[1])
+        # margin: the probe dilate grows the keep mask by a pixel ring,
+        # so demand the thin sphere clearly outside at the start
+        bad_thin = sphere_in_frustum(pose0, K, h, w, np.asarray(thin[0]),
+                                     thin[1], margin=12.0)
+        if ok_big and not bad_thin:
+            cam = c
+            break
+    assert cam is not None, "no start view found (scene layout changed?)"
+
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    coords = np.stack([xs, ys], -1).reshape(1, -1, 2).astype(np.float32)
+    n_rays = coords.shape[1]
+
+    # render.py's sticky-up policy (render.py auto branch)
+    accepted_psn = None
+    auto_fallback = False
+    renderer_skip = renderer
+    rows = []
+    for f in range(flags.frames):
+        a = f / (flags.frames - 1)
+        target = (1 - a) * (t0 + 1.2 * (t0 - t1)) + a * t1
+        pose = look_at_pose(cam, target)
+        thin_vis = sphere_in_frustum(pose, K, h, w, np.asarray(thin[0]),
+                                     thin[1])
+        gt, _, _ = render_spheres_view(pose, K, h, w, spheres)
+        que = {"coords": jnp.asarray(coords),
+               "poses": jnp.asarray(pose[None]),
+               "Ks": jnp.asarray(K[None]),
+               "depth_range": jnp.asarray([DEPTH_RANGE], np.float32)}
+        start_psn = (None if auto_fallback
+                     else renderer_skip.cfg.probe_sample_num)
+        if auto_fallback:
+            from neuray_tpu.models.renderer import render_frame_skip_empty
+            out = render_frame_skip_empty(
+                renderer, params, ref_c, que, threshold=0.01)
+            out.update({"probe_sample_num": None, "false_skip_rate": None,
+                        "fallback": "two_phase(sticky)"})
+        else:
+            out = render_frame_probe_auto(
+                renderer_skip, params, ref_c, que, threshold=0.01,
+                image_hw=(h, w), dilate=1, focus=True, tol=flags.tol,
+                win_tol_db=flags.win_tol_db,
+                probe_stride=flags.probe_stride)
+            if out["fallback"] is None:
+                if out["probe_sample_num"] != renderer_skip.cfg.probe_sample_num:
+                    accepted_psn = out["probe_sample_num"]
+                    renderer_skip = NeurayRenderer(dataclasses.replace(
+                        cfg, probe_sample_num=accepted_psn))
+            else:
+                auto_fallback = True
+        img = np.asarray(out["pixel_colors_nr_fine"][0], np.float32)
+        row = {
+            "frame": f,
+            "thin_in_frustum": bool(thin_vis),
+            "start_psn": start_psn,
+            "accepted_psn": out.get("probe_sample_num"),
+            "false_skip_rate": (None if out.get("false_skip_rate") is None
+                                else round(out["false_skip_rate"], 4)),
+            "window_clip_db": (round(out["window_clip_db"], 4)
+                               if "window_clip_db" in out else None),
+            "fallback": out.get("fallback"),
+            "kept_fraction": round(out.get("kept_rays", n_rays)
+                                   / n_rays, 4),
+            "psnr_vs_gt": round(psnr(img, gt.reshape(-1, 3)), 3),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # verdict: a genuine escalation = some frame accepted a LARGER
+    # probe than an earlier accepted frame (or fell back), and the
+    # thin sphere's frustum entry is where it happened
+    accepted = [r["accepted_psn"] for r in rows
+                if r["accepted_psn"] is not None and r["fallback"] is None]
+    escalated = (len(set(accepted)) > 1
+                 or any(r["fallback"] for r in rows))
+    first_thin = next((r["frame"] for r in rows if r["thin_in_frustum"]),
+                      None)
+    print(json.dumps({
+        "escalated": bool(escalated),
+        "first_thin_frame": first_thin,
+        "accepted_sequence": [r["accepted_psn"] for r in rows],
+        "fallbacks": [r["fallback"] for r in rows]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
