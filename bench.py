@@ -58,7 +58,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache")
+    from neuray_tpu.utils.compile_cache import cache_dir as _ccd
+    cache_dir = _ccd(os.environ.get("JAX_CACHE_DIR", "/tmp/jax_bench_cache"))
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

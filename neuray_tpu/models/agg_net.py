@@ -2,9 +2,11 @@
 IBRNetWithNeuRay. Parity: reference network/aggregate_net.py.
 
 Layout note (TPU): the projection dict arrives as [rfn, qn, rn, dn, f]
-channels-last tensors; we reshape to [qn*rn, dn, rfn, f] for the
-along-ray attention exactly as the reference does, but with a single
-transpose fused by XLA.
+channels-last tensors and STAYS view-major ([rfn, qn*rn, dn, f]) all
+the way through IBRNetWithNeuRay(view_major=True), which reduces views
+over axis 0 — no [rfn,·,dn,f] -> [·,dn,rfn,f] transposes anywhere in
+the per-chunk hot path (they cost real HBM round-trips at
+[8, 1024, 64, 35..67] chunk shapes).
 """
 from __future__ import annotations
 
@@ -16,14 +18,15 @@ import flax.linen as nn
 from neuray_tpu.models.ibrnet import IBRNetWithNeuRay
 
 
-def get_dir_diff(prj_dir, que_dir):
-    """prj_dir [rfn,qn,rn,dn,3]; que_dir [qn,rn,dn,3] -> [qn*rn,dn,rfn,4]."""
+def get_dir_diff(prj_dir, que_dir, view_major: bool = False):
+    """prj_dir [rfn,qn,rn,dn,3]; que_dir [qn,rn,dn,3] -> [qn*rn,dn,rfn,4]
+    (or [rfn,qn*rn,dn,4] with view_major — no transpose)."""
     rfn, qn, rn, dn, _ = prj_dir.shape
     dir_diff = prj_dir - que_dir[None]
     dir_dot = jnp.sum(prj_dir * que_dir[None], axis=-1, keepdims=True)
     dir_diff = jnp.concatenate([dir_diff, dir_dot], axis=-1)  # rfn,qn,rn,dn,4
-    dir_diff = dir_diff.reshape(rfn, qn * rn, dn, 4).transpose(1, 2, 0, 3)
-    return dir_diff
+    dir_diff = dir_diff.reshape(rfn, qn * rn, dn, 4)
+    return dir_diff if view_major else dir_diff.transpose(1, 2, 0, 3)
 
 
 class DefaultAggregationNet(nn.Module):
@@ -56,20 +59,20 @@ class DefaultAggregationNet(nn.Module):
         prob_embedding = nn.Dense(dim, dtype=self.dtype,
                                   name="prob_embed_1")(prob_embedding)
 
-        dir_diff = get_dir_diff(prj_dir, que_dir)
-        valid_mask = prj_dict["mask"].reshape(
-            rfn, qn * rn, dn, -1).transpose(1, 2, 0, 3)
-
+        # view-major throughout: everything stays [rfn, qn*rn, dn, f]
+        # (the layout the projection/gather stage produces) and IBRNet
+        # reduces views over axis 0 — skips three large per-chunk
+        # transposes. Same math/params (ibrnet.py view_major).
+        dir_diff = get_dir_diff(prj_dir, que_dir, view_major=True)
+        valid_mask = prj_dict["mask"].reshape(rfn, qn * rn, dn, -1)
         prj_img_feats = jnp.concatenate([prj_rgb, prj_dict["img_feats"]], -1)
-        prj_img_feats = prj_img_feats.reshape(
-            rfn, qn * rn, dn, -1).transpose(1, 2, 0, 3)
-        prob_embedding = prob_embedding.reshape(
-            rfn, qn * rn, dn, -1).transpose(1, 2, 0, 3)
+        prj_img_feats = prj_img_feats.reshape(rfn, qn * rn, dn, -1)
+        prob_embedding = prob_embedding.reshape(rfn, qn * rn, dn, -1)
 
         if pos is not None:
             pos = pos.reshape(qn * rn, dn)
         outs = IBRNetWithNeuRay(dim, n_samples=n_samples, dtype=self.dtype,
-                                name="agg_impl")(
+                                view_major=True, name="agg_impl")(
             prj_img_feats, prob_embedding, dir_diff, valid_mask,
             pos_stride=pos_stride, pos=pos)
         colors = outs[..., :3]

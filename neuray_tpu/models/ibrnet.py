@@ -46,6 +46,18 @@ def sinusoid_pos_at(d_hid: int, pos: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(hid % 2 == 0, jnp.sin(angle), jnp.cos(angle))
 
 
+class _Kernel(nn.Module):
+    """Bias-free Dense param container (nn.Dense's kernel name/init) —
+    lets the parent read the kernel to PACK shared-input projections."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.linear.default_kernel_init,
+                          (self.in_features, self.features))
+
+
 class MultiHeadAttention(nn.Module):
     """Post-LN multi-head attention with residual (reference ibrnet.py:52)."""
     n_head: int
@@ -59,12 +71,23 @@ class MultiHeadAttention(nn.Module):
         """q,k,v: [b, l, d_model]; mask: [b, l, 1] (key mask) or None."""
         b, lq, _ = q.shape
         residual = q
-        qh = nn.Dense(self.n_head * self.d_k, use_bias=False,
-                      dtype=self.dtype, name="w_qs")(q)
-        kh = nn.Dense(self.n_head * self.d_k, use_bias=False,
-                      dtype=self.dtype, name="w_ks")(k)
-        vh = nn.Dense(self.n_head * self.d_v, use_bias=False,
-                      dtype=self.dtype, name="w_vs")(v)
+        wq = _Kernel(self.n_head * self.d_k, self.d_model, name="w_qs")()
+        wk = _Kernel(self.n_head * self.d_k, self.d_model, name="w_ks")()
+        wv = _Kernel(self.n_head * self.d_v, self.d_model, name="w_vs")()
+        dt = self.dtype
+        if dt is not None:
+            wq, wk, wv = wq.astype(dt), wk.astype(dt), wv.astype(dt)
+            q, k, v = q.astype(dt), k.astype(dt), v.astype(dt)
+        if q is k and q is v:
+            # self-attention (the only caller): ONE packed projection
+            # matmul instead of three K=16 tile passes — exact, the
+            # packed kernel is a concat of the same params
+            qkv = jnp.dot(q, jnp.concatenate([wq, wk, wv], axis=1))
+            nk = self.n_head * self.d_k
+            qh, kh, vh = (qkv[..., :nk], qkv[..., nk:2 * nk],
+                          qkv[..., 2 * nk:])
+        else:
+            qh, kh, vh = jnp.dot(q, wq), jnp.dot(k, wk), jnp.dot(v, wv)
         qh = qh.reshape(b, lq, self.n_head, self.d_k).transpose(0, 2, 1, 3)
         kh = kh.reshape(b, -1, self.n_head, self.d_k).transpose(0, 2, 1, 3)
         vh = vh.reshape(b, -1, self.n_head, self.d_v).transpose(0, 2, 1, 3)
@@ -87,11 +110,12 @@ class MultiHeadAttention(nn.Module):
         return out, attn
 
 
-def fused_mean_variance(x, weight):
+def fused_mean_variance(x, weight, axis: int = 2):
     """Weighted mean/var over the view axis (reference ibrnet.py:112-116).
-    x [b, dn, rfn, f]; weight [b, dn, rfn, 1]."""
-    mean = jnp.sum(x * weight, axis=2, keepdims=True)
-    var = jnp.sum(weight * (x - mean) ** 2, axis=2, keepdims=True)
+    x [b, dn, rfn, f]; weight [b, dn, rfn, 1] (or view-major with
+    axis=0: x [rfn, b, dn, f])."""
+    mean = jnp.sum(x * weight, axis=axis, keepdims=True)
+    var = jnp.sum(weight * (x - mean) ** 2, axis=axis, keepdims=True)
     return mean, var
 
 
@@ -166,11 +190,19 @@ class IBRNetWithNeuRay(nn.Module):
       ray_diff    [b, dn, rfn, 4]              (dir diff + dot)
       mask        [b, dn, rfn, 1]
     Output: [b, dn, 4] (rgb, sigma).
+
+    view_major=True takes the SAME inputs laid out [rfn, b, dn, f]
+    (view axis leading, the layout the projection/gather stage
+    naturally produces) and reduces views over axis 0 — identical math
+    and params, but the caller skips three large [rfn,b,dn,f] ->
+    [b,dn,rfn,f] transposes per chunk (agg_net.py; measured in the
+    full-frame time, not the per-stage profile).
     """
     neuray_in_dim: int = 32
     in_feat_ch: int = 32
     n_samples: int = 64
     dtype: jnp.dtype | None = None
+    view_major: bool = False
 
     @nn.compact
     def __call__(self, rgb_feat, neuray_feat, ray_diff, mask,
@@ -186,21 +218,21 @@ class IBRNetWithNeuRay(nn.Module):
         probe-focused render, whose per-ray narrowed sampling windows
         put sample j at a ray-dependent position in the full coarse
         grid."""
-        num_views = rgb_feat.shape[2]
         dt = self.dtype
+        vax = 0 if self.view_major else 2   # the view axis
 
         direction_feat = _Seq((16, self.in_feat_ch + 3), "elu", dt,
                               name="ray_dir_fc")(ray_diff)
         rgb_in = rgb_feat[..., :3]
         rgb_feat = rgb_feat + direction_feat
 
-        weight = mask / (jnp.sum(mask, axis=2, keepdims=True) + 1e-8)
+        weight = mask / (jnp.sum(mask, axis=vax, keepdims=True) + 1e-8)
 
         # neuray weighting (reference :337-341)
         w0 = nn.sigmoid(_Seq((8, 1), "none", dt, name="neuray_fc")(neuray_feat))
         weight0 = w0 * weight
-        mean0, var0 = fused_mean_variance(rgb_feat, weight0)
-        mean1, var1 = fused_mean_variance(rgb_feat, weight)
+        mean0, var0 = fused_mean_variance(rgb_feat, weight0, vax)
+        mean1, var1 = fused_mean_variance(rgb_feat, weight, vax)
         globalfeat = jnp.concatenate([mean0, var0, mean1, var1], axis=-1)
 
         # base_fc with its fc0 kernel split at the shared/per-view
@@ -216,13 +248,16 @@ class IBRNetWithNeuRay(nn.Module):
         vis = nn.sigmoid(vis) * mask
         x = x + x_res
         vis = _Seq((32, 1), "sigmoid", dt, name="vis_fc2")(x * vis) * mask
-        weight = vis / (jnp.sum(vis, axis=2, keepdims=True) + 1e-8)
+        weight = vis / (jnp.sum(vis, axis=vax, keepdims=True) + 1e-8)
 
-        mean, var = fused_mean_variance(x, weight)
+        mean, var = fused_mean_variance(x, weight, vax)
+        squeeze = ((lambda t: t[0]) if self.view_major
+                   else (lambda t: t[:, :, 0]))
         globalfeat = jnp.concatenate(
-            [mean[:, :, 0], var[:, :, 0], jnp.mean(weight, axis=2)], axis=-1)
+            [squeeze(mean), squeeze(var), jnp.mean(weight, axis=vax)],
+            axis=-1)                                        # b,dn,35
         globalfeat = _Seq((64, 16), "elu", dt, name="geometry_fc")(globalfeat)
-        num_valid_obs = jnp.sum(mask, axis=2)                # b,dn,1
+        num_valid_obs = jnp.sum(mask, axis=vax)              # b,dn,1
 
         if pos is not None:
             globalfeat = globalfeat + sinusoid_pos_at(
@@ -242,8 +277,8 @@ class IBRNetWithNeuRay(nn.Module):
         x = jnp.concatenate([x, vis, ray_diff], axis=-1)
         x = _Seq((16, 8, 1), "none", dt, name="rgb_fc")(x)
         x = jnp.where(mask == 0, -1e9, x)
-        blending_weights = nn.softmax(x, axis=2)
-        rgb_out = jnp.sum(rgb_in * blending_weights, axis=2)  # b,dn,3
+        blending_weights = nn.softmax(x, axis=vax)
+        rgb_out = jnp.sum(rgb_in * blending_weights, axis=vax)  # b,dn,3
         return jnp.concatenate([rgb_out, sigma_out], axis=-1)
 
 

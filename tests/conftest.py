@@ -18,7 +18,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # XLA-CPU compiles dominate test wall time; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+from neuray_tpu.utils.compile_cache import cache_dir as _ccd
+jax.config.update("jax_compilation_cache_dir",
+                  _ccd("/tmp/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

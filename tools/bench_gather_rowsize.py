@@ -27,7 +27,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    from neuray_tpu.utils.compile_cache import cache_dir as _ccd
+    jax.config.update("jax_compilation_cache_dir",
+                      _ccd("/tmp/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     print("platform:", jax.devices()[0].platform, flush=True)
 

@@ -138,7 +138,9 @@ def bench_reference(ref_np, que_np, rays):
 def bench_ours_cpu(ref_np, que_np, rays):
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    from neuray_tpu.utils.compile_cache import cache_dir as _ccd
+    jax.config.update("jax_compilation_cache_dir",
+                      _ccd("/tmp/jax_test_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from neuray_tpu.models.renderer import (

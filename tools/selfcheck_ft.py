@@ -40,11 +40,13 @@ def main():
     import jax
     if flags.cpu:
         jax.config.update("jax_platforms", "cpu")
+        from neuray_tpu.utils.compile_cache import cache_dir as _ccd
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_test_cache")
+                          _ccd("/tmp/jax_test_cache"))
     else:
+        from neuray_tpu.utils.compile_cache import cache_dir as _ccd
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_bench_cache")
+                          _ccd("/tmp/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     print("platform:", jax.devices()[0].platform, flush=True)
 

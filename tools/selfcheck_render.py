@@ -118,16 +118,18 @@ def main():
     import jax
     if flags.devices:
         jax.config.update("jax_platforms", "cpu")
+        from neuray_tpu.utils.compile_cache import cache_dir as _ccd
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_test_cache")
+                          _ccd("/tmp/jax_test_cache"))
         n = len(jax.devices())
         assert n == flags.devices, \
             f"wanted {flags.devices} CPU devices, got {n} (jax already " \
             f"initialized?)"
         print(f"selfcheck on {n}-device virtual CPU mesh", flush=True)
     else:
+        from neuray_tpu.utils.compile_cache import cache_dir as _ccd
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/jax_bench_cache")
+                          _ccd("/tmp/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from neuray_tpu.data import database as D
