@@ -1,6 +1,13 @@
 """Measure whether reusing the COARSE pass's gathered rows in the fine
 pass would pay on the exact render path.
 
+SCOPE: the bench/eval exact path runs ``fine_depth_use_all=False``
+(both here and in the reference default, reference renderer.py:39) —
+its fine pass evaluates 64 FRESH importance-sampled depths, so there
+are ZERO duplicate taps to reuse and this lever does not exist there.
+The measurement below covers the ``fine_depth_use_all=True`` config
+(reference renderer.py:210), where reuse IS nominally available:
+
 With fine_depth_use_all the fine pass evaluates sorted(cat(coarse_depth,
 fine_depth)) — the 64 coarse samples project to the SAME points, so
 their fused-map gathers (64/192 = 33% of all fine-pass taps) return

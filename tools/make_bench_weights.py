@@ -50,6 +50,11 @@ def main():
                     help="cost_volume: train the MVSNet-cost-volume "
                          "init config (trained weights for "
                          "tools/bench_cost_volume.py --focus)")
+    ap.add_argument("--n-que", type=int, default=16,
+                    help="number of training query views (the room "
+                         "scene needs more than the default 16 to "
+                         "train well — full coverage means far more "
+                         "visible surface per scene)")
     ap.add_argument("--cpu", action="store_true")
     flags = ap.parse_args()
     if flags.out is None:
@@ -125,7 +130,7 @@ def main():
         ref["nn_ids"] = jnp.asarray(nn_ids)
         src = {k: ref[k] for k in ("imgs", "poses", "Ks", "depth_range")}
 
-    n_que = 16
+    n_que = flags.n_que
     ques = []
     for i in range(n_que):
         q = make_query(np.random.RandomState(100 + i), size, size, rn=0,

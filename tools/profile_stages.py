@@ -23,7 +23,7 @@ CHUNK = 1024
 DN = 64
 RFN = 8
 H = W = 800
-K = 16           # chunks per timed program
+K = int(os.environ.get("PROFILE_K", "64"))  # chunks per timed program
 FRAME_CHUNKS = 640000 / CHUNK   # 625 chunks per 800x800 frame
 
 
@@ -82,12 +82,30 @@ def main():
     def want(tag):
         return only is None or tag in only.split(",")
 
+    # Dispatch floor: a near-empty program timed the same way. On the
+    # axon tunnel one dispatch+readback costs ~30ms REGARDLESS of the
+    # program, so every stage number below includes ~t_null of pure
+    # RTT — at K=16 that floor alone reads as "2.3 s/frame" for a
+    # 2-pass stage, which is how the round-4 table overstated the
+    # cheap stages (compositing/sampling/projection). Stages report
+    # floor-corrected time; `dispatch_floor` records the raw floor.
+    tiny = jnp.asarray(np.zeros((K, 8), np.float32))
+
+    @jax.jit
+    def stage_null(x):
+        return jnp.sum(jax.lax.map(lambda v: jnp.sum(v * 2.0), x))
+    t_null = timeit(stage_null, tiny)
+    print(f"{'dispatch floor':24s} {t_null * 1e3:8.2f} ms/program",
+          flush=True)
+    results["dispatch_floor_ms"] = round(t_null * 1e3, 2)
+
     def report(name, t_per_k, passes=2):
-        per_frame = t_per_k / K * FRAME_CHUNKS * passes
+        t_corr = max(t_per_k - t_null, 0.0)
+        per_frame = t_corr / K * FRAME_CHUNKS * passes
         results[name] = round(per_frame, 3)
-        print(f"{name:24s} {t_per_k / K * 1e3:8.2f} ms/chunk "
-              f"-> {per_frame:6.2f} s/frame (x{passes} passes)",
-              flush=True)
+        print(f"{name:24s} {t_corr / K * 1e3:8.2f} ms/chunk "
+              f"-> {per_frame:6.2f} s/frame (x{passes} passes, "
+              f"floor-corrected)", flush=True)
 
     # A. projection math
     @jax.jit
@@ -283,7 +301,8 @@ def main():
     if want("comp"):
         report("compositing", timeit(stage_comp, alpha))
 
-    total = sum(results.values())
+    total = sum(v for k, v in results.items()
+                if k != "dispatch_floor_ms")
     print(f"{'SUM of stages':24s} -> {total:6.2f} s/frame", flush=True)
     print(json.dumps(results))
 
