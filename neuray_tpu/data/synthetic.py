@@ -141,6 +141,28 @@ def make_room_spheres(rng: np.random.RandomState, n_inner: int = 4):
     return tuple(spheres)
 
 
+def make_pan_scene_spheres():
+    """Trajectory PAN scene (tools/check_trajectory_escalation.py): a
+    textured anchor sphere on +X and a thin X of rods (chains of
+    r=0.10 spheres, the blob scene's probe-killer scaled up in COUNT)
+    on -X. From the radius-4 shell the two groups are ~32 deg apart —
+    beyond the default K's ~26 deg half-diagonal FOV — so a camera can
+    hold the anchor while the rods are genuinely OUTSIDE the frustum,
+    then pan them in. The rod radius sits between the 8-probe depth
+    spacing (3.0/8 = 0.375: ~half the crossing rays stepped over) and
+    the 16/32-probe spacing (<= 0.19: caught), so the false-skip audit
+    must fail at probe 8 and pass after escalating. Deterministic (no
+    rng): the geometry IS the experiment."""
+    anchor = ((1.1, 0.0, 0.0), 0.5, (0.9, 0.6, 0.5), True)
+    ts = np.linspace(-0.5, 0.5, 13)
+    rods = tuple(
+        ((-1.25, float(t / np.sqrt(2)), float(sgn * t / np.sqrt(2))),
+         0.10, (0.5, 0.9, 0.6))
+        for sgn in (1.0, -1.0) for t in ts
+        if not (sgn < 0 and abs(t) < 1e-9))  # dedupe the center
+    return (anchor,) + rods
+
+
 def make_sphere_scene(rng: np.random.RandomState, rfn: int, h: int,
                       w: int, spheres=UNIT_SPHERE,
                       depth_range=DEPTH_RANGE) -> Dict[str, np.ndarray]:

@@ -27,6 +27,12 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The trainer tests run in a fresh subprocess (tests/test_trainer.py
+# explains why); keep the impl module out of top-level collection so
+# they run exactly once.
+collect_ignore = ([] if os.environ.get("NEURAY_TRAINER_SUBPROC")
+                  else ["test_trainer_impl.py"])
+
 
 @pytest.fixture
 def rng():

@@ -126,3 +126,47 @@ def test_synthetic_dataset_schema():
     assert s["que"]["coords"].shape == (1, 16, 2)
     assert s["depth_loss_coords"].shape == (3, 8, 2)
     assert "true_depth" in s["ref"]
+
+
+def test_pan_scene_separable_from_shell():
+    """The trajectory-escalation tool's precondition: some radius-4
+    shell camera frames the anchor while EVERY rod sphere projects
+    outside the image (12 px margin) — and centering the rod brings
+    it back in. Pin it here so scene edits can't silently break
+    tools/check_trajectory_escalation.py's camera search."""
+    import numpy as np
+    from neuray_tpu.data.synthetic import make_pan_scene_spheres, RADIUS
+    sys_path = __import__("sys").path
+    import os
+    tools = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    if tools not in sys_path:
+        sys_path.insert(0, tools)
+    from check_trajectory_escalation import look_at_pose, sphere_in_frustum
+
+    spheres = make_pan_scene_spheres()
+    anchor, rod = spheres[0], spheres[1:]
+    assert anchor[1] == 0.5 and all(s[1] == 0.10 for s in rod)
+    h = w = 400
+    K = np.array([[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]],
+                  np.float32)
+    t0 = np.asarray(anchor[0], np.float64)
+    rs = np.random.RandomState(7)
+    found = None
+    for _ in range(512):
+        d = rs.randn(3)
+        d /= np.linalg.norm(d)
+        c = d * RADIUS
+        pose0 = look_at_pose(c, t0)
+        if (sphere_in_frustum(pose0, K, h, w, np.asarray(anchor[0]),
+                              anchor[1])
+                and not any(sphere_in_frustum(
+                    pose0, K, h, w, np.asarray(s[0]), s[1], margin=12.0)
+                    for s in rod)):
+            found = c
+            break
+    assert found is not None, "no shell camera separates anchor from rod"
+    # panning to the rod center must bring the rod into the frustum
+    pose1 = look_at_pose(found, np.array([-1.25, 0.0, 0.0]))
+    assert any(sphere_in_frustum(pose1, K, h, w, np.asarray(s[0]), s[1])
+               for s in rod)

@@ -1,198 +1,37 @@
-"""Trainer smoke test: a few DP steps on synthetic scenes + checkpoint
-resume round-trip."""
+"""Run the trainer tests in a FRESH subprocess.
+
+The trainer module (tests/test_trainer_impl.py — the real tests) is
+green standalone but crashes the interpreter when it runs AFTER the
+~130 other suite tests that load torch (the reference-parity suites):
+the pmap train-step compile died in three DIFFERENT places across
+full-suite runs — jax's persistent-cache read (round 4,
+``get_executable_and_time``), the cache write (round 5,
+``put_executable_and_time``), and finally ``backend_compile_and_load``
+itself with the persistent cache fully disabled via
+``jax_enable_compilation_cache=False`` + ``reset_cache()``. A crash
+that survives removal of the component it first appeared in is not a
+cache bug: it is in-process state corruption from the torch+jax
+coexistence (128 GB free when it dies, so not OOM), and the
+conventional handling for that is PROCESS ISOLATION.
+
+This wrapper runs the module under a fresh interpreter where it has
+always passed (no torch loaded, persistent cache enabled and warm).
+tests/conftest.py keeps ``test_trainer_impl.py`` out of top-level
+collection unless NEURAY_TRAINER_SUBPROC is set, so the tests run
+exactly once.
+"""
 import os
-
-import numpy as np
-import pytest
-
-
-def make_cfg(tmpdir, total_step=3):
-    return {
-        "name": "smoke",
-        "total_step": total_step,
-        "train_log_step": 2,
-        "val_interval": 1000000,  # skip validation in the smoke test
-        "save_interval": 2,
-        "lr_type": "exp_decay",
-        "lr_cfg": {"lr_init": 1e-3, "decay_step": 1000, "decay_rate": 0.5},
-        "loss": ["render", "depth"],
-        "use_nr_fine_loss": True,
-        "val_metric": ["psnr_ssim"],
-        "key_metric_name": "psnr_nr_fine",
-        "train_dataset_type": "synthetic",
-        "train_dataset_cfg": {"rfn": 3, "h": 32, "w": 32,
-                              "train_ray_num": 32,
-                              "depth_loss_coords_num": 8},
-        "val_set_list": [],
-        "output_root": str(tmpdir),
-        "n_devices": 2,
-        # renderer cfg (flat, reference-style)
-        "use_hierarchical_sampling": True,
-        "depth_sample_num": 8,
-        "fine_depth_sample_num": 8,
-        "ray_batch_num": 32,
-        "ray_mask_point_num": 4,
-        "use_depth_loss": True,
-        "dist_decoder_cfg": {"use_vis": False},
-        "fine_dist_decoder_cfg": {"use_vis": False},
-    }
+import subprocess
+import sys
 
 
-def test_trainer_runs_and_resumes(tmp_path):
-    from neuray_tpu.train.trainer import Trainer
-    cfg = make_cfg(tmp_path, total_step=3)
-    trainer = Trainer(cfg)
-    params = trainer.run()
-    assert os.path.exists(f"{trainer.model_dir}/ckpt")
-    assert os.path.exists(f"{trainer.model_dir}/train.txt")
-
-    # resume: a second trainer continues from step 3 to 5
-    cfg2 = make_cfg(tmp_path, total_step=5)
-    trainer2 = Trainer(cfg2)
-    params2 = trainer2.run()
-    with open(f"{trainer2.model_dir}/train.txt") as f:
-        log = f.read()
-    assert "step 4" in log
-    leaves = [np.asarray(x) for x in
-              __import__("jax").tree.leaves(params2)]
-    assert all(np.isfinite(l).all() for l in leaves)
-
-
-def test_trainer_dp8_val_improves_and_resumes(tmp_path):
-    """Gen training END-TO-END through Trainer.run on the full 8-device
-    mesh (bucketed DP batching, pmean'd grads, sharded validation
-    render): val PSNR must improve over the run, and the checkpoint
-    written from pmap-replicated state must resume correctly."""
-    from neuray_tpu.train.trainer import Trainer
-
-    def cfg(total_step):
-        c = make_cfg(tmp_path, total_step=total_step)
-        c.update({
-            "name": "dp8",
-            "n_devices": 8,
-            "train_log_step": 2,
-            "val_interval": 10,
-            "save_interval": 10,
-            "val_metric": ["psnr_ssim"],
-            # num=2: the synthetic val set defaults to 1024 views
-            "val_set_list": [{"name": "sphere", "type": "synthetic",
-                              "cfg": {"rfn": 3, "h": 32, "w": 32,
-                                      "num": 2}}],
-        })
-        return c
-
-    trainer = Trainer(cfg(30))
-    trainer.run()
-    with open(f"{trainer.model_dir}/val-sphere.txt") as f:
-        vals = []
-        for line in f:
-            toks = line.split()
-            vals.append((int(toks[2]),
-                         float(toks[toks.index("psnr_nr_fine") + 1])))
-    by_step = dict(vals)
-    assert 10 in by_step and 30 in by_step
-    assert by_step[30] > by_step[10], by_step
-
-    # resume from the step-30 checkpoint (saved from replicated state)
-    trainer2 = Trainer(cfg(34))
-    params2 = trainer2.run()
-    with open(f"{trainer2.model_dir}/train.txt") as f:
-        log = f.read()
-    assert "step 32" in log and "step 34" in log
-    import jax
-    leaves = [np.asarray(x) for x in jax.tree.leaves(params2)]
-    assert all(np.isfinite(l).all() for l in leaves)
-
-
-def test_restore_opt_state_strict():
-    """Adam moments must survive a resume; a structure mismatch must be
-    loud (raise under strict) instead of silently resetting moments."""
-    import jax
-    import jax.numpy as jnp
-    import optax
-    from neuray_tpu.train.trainer import _restore_opt_state
-
-    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}
-    opt = optax.adam(1e-3)
-    state = opt.init(params)
-    grads = jax.tree.map(jnp.ones_like, params)
-    _, state = opt.update(grads, state, params)
-
-    # round trip: moments preserved exactly
-    template = opt.init(params)
-    out = _restore_opt_state(template, {"opt_state": state})
-    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(state)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-    # param tree changed since the ckpt -> strict raise, non-strict warns
-    params2 = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,)),
-               "extra": jnp.zeros((4,))}
-    template2 = opt.init(params2)
-    with pytest.raises(ValueError, match="opt_state"):
-        _restore_opt_state(template2, {"opt_state": state})
-    out2 = _restore_opt_state(template2, {"opt_state": state}, strict=False)
-    assert len(jax.tree.leaves(out2)) == len(jax.tree.leaves(template2))
-
-    # same leaf count but different shapes -> also a mismatch
-    params3 = {"w": jnp.ones((2, 3)), "b": jnp.zeros((2,))}
-    template3 = opt.init(params3)
-    with pytest.raises(ValueError, match="opt_state"):
-        _restore_opt_state(template3, {"opt_state": state})
-
-
-def test_prefetcher_multiworker_order_and_overlap():
-    """N>1 Prefetcher workers deliver samples IN ORDER (the training
-    stream is worker-count independent) and actually overlap dataset
-    work (VERDICT r2 weak #4 / next #5)."""
-    import time
-    import threading
-    from neuray_tpu.train.trainer import Prefetcher
-
-    class SlowDataset:
-        def __init__(self, n=24, delay=0.02):
-            self.n, self.delay = n, delay
-            self.concurrent = 0
-            self.max_concurrent = 0
-            self._lock = threading.Lock()
-
-        def __len__(self):
-            return self.n
-
-        def __getitem__(self, i):
-            with self._lock:
-                self.concurrent += 1
-                self.max_concurrent = max(self.max_concurrent,
-                                          self.concurrent)
-            time.sleep(self.delay)  # releases the GIL like cv2/numpy
-            with self._lock:
-                self.concurrent -= 1
-            return {"index": i}
-
-    ds = SlowDataset()
-    pf = Prefetcher(ds, maxsize=8, workers=4)
-    got = [pf.next()["index"] for _ in range(48)]
-    pf.close()
-    assert got == [i % 24 for i in range(48)]
-    assert ds.max_concurrent > 1, "workers never overlapped"
-
-    # serial baseline (workers=1) also stays ordered
-    ds1 = SlowDataset(n=6, delay=0.001)
-    pf1 = Prefetcher(ds1, workers=1)
-    got1 = [pf1.next()["index"] for _ in range(12)]
-    pf1.close()
-    assert got1 == [i % 6 for i in range(12)]
-
-    # fork-based process workers (the GIL-free path, cfg
-    # worker_processes): same in-order stream, numpy payloads intact
-    class NpDataset:
-        def __len__(self):
-            return 5
-
-        def __getitem__(self, i):
-            return {"index": i, "img": np.full((4, 4), i, np.float32)}
-
-    pfp = Prefetcher(NpDataset(), maxsize=4, processes=2)
-    got_p = [pfp.next() for _ in range(10)]
-    pfp.close()
-    assert [s["index"] for s in got_p] == [i % 5 for i in range(10)]
-    assert all(float(s["img"][0, 0]) == s["index"] for s in got_p)
+def test_trainer_module_in_subprocess():
+    impl = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "test_trainer_impl.py")
+    env = dict(os.environ, NEURAY_TRAINER_SUBPROC="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", impl],
+        env=env, capture_output=True, text=True, timeout=2400)
+    sys.stdout.write(r.stdout[-4000:])
+    sys.stderr.write(r.stderr[-2000:])
+    assert r.returncode == 0, "trainer subprocess suite failed"

@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--out", default=None)
     ap.add_argument("--scene", default="sphere",
-                    choices=["sphere", "blobs", "room"],
+                    choices=["sphere", "blobs", "room", "pan"],
                     help="blobs: 5 spheres incl. a thin r=0.08 one "
                          "(probe-generality evidence); room: blobs "
                          "ENCLOSED by a textured room sphere — every "
@@ -84,7 +84,8 @@ def main():
     from neuray_tpu.models.renderer import NeurayRenderer, RenderConfig
     from neuray_tpu.data.synthetic import (
         make_sphere_scene, make_query, make_blob_spheres,
-        make_room_spheres, UNIT_SPHERE, DEPTH_RANGE, ROOM_DEPTH_RANGE)
+        make_room_spheres, make_pan_scene_spheres, UNIT_SPHERE,
+        DEPTH_RANGE, ROOM_DEPTH_RANGE)
     from neuray_tpu.train.losses import render_loss
     from neuray_tpu.utils.params_io import save_params_npz
 
@@ -112,6 +113,7 @@ def main():
     spheres = {"sphere": UNIT_SPHERE,
                "blobs": make_blob_spheres(np.random.RandomState(42)),
                "room": make_room_spheres(np.random.RandomState(42)),
+               "pan": make_pan_scene_spheres(),
                }[flags.scene]
     depth_range = (ROOM_DEPTH_RANGE if flags.scene == "room"
                    else DEPTH_RANGE)
