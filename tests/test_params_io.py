@@ -44,3 +44,24 @@ def test_bench_weights_file_loads():
     tree = load_params_npz(path)
     assert "params" in tree
     assert "image_encoder" in tree["params"]
+
+
+def test_compile_cache_fingerprint_live_and_stable():
+    """cache_dir must key on the LIVE cpu identity (cpuid), not only
+    boot-time /proc/cpuinfo: a mid-session live migration changes what
+    cpuid reports without touching /proc, and XLA:CPU AOT entries
+    written pre-migration then deserialize as executables 'compiled
+    for a different machine' (the round-4 suite segfault; re-observed
+    2026-08-19 as cpu_aot_loader mismatch warnings under an unchanged
+    boot-time fingerprint)."""
+    import platform
+    from neuray_tpu.utils.compile_cache import (
+        _cpuid_fingerprint, cache_dir)
+    d1 = cache_dir("/tmp/x")
+    assert d1.startswith("/tmp/x_") and len(d1) == len("/tmp/x_") + 10
+    assert d1 == cache_dir("/tmp/x")  # stable within one session
+    if platform.machine() in ("x86_64", "AMD64"):
+        fp = _cpuid_fingerprint()
+        assert fp and fp == _cpuid_fingerprint()
+        # vendor string leaf present (GenuineIntel/AuthenticAMD bytes)
+        assert fp.startswith("0.0:")
