@@ -1377,7 +1377,10 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
     — still 2.1x the full render).
 
     Returns the frame dict plus: probe_sample_num (accepted value),
-    false_skip_rate (last audit), fallback ("two_phase" or None), and
+    false_skip_rate (last audit), fallback ("two_phase" or None),
+    audit_trail (one {probe_sample_num, false_skip_rate,
+    window_clip_db, kept_fraction} record per ladder rung — the
+    rejected rungs' measured rates, not just the accepted one), and
     in focus mode window_clip (mass fraction) / window_clip_db
     (predicted PSNR cost, the gated value).
     """
@@ -1386,7 +1389,7 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
     c = renderer.cfg
     psn = c.probe_sample_num
     use_stride = focus and probe_stride > 1 and image_hw is not None
-    info = {"fallback": None}
+    info = {"fallback": None, "audit_trail": []}
     # probe-fn builders: on a multi-device mesh the probe itself shards
     # the ray axis (parallel/sharding.py) so the escalation ladder runs
     # at mesh speed, matching the final render phase it gates
@@ -1444,6 +1447,11 @@ def render_frame_probe_auto(renderer: NeurayRenderer, params, ref_c,
                 ref_psnr=win_ref_psnr)
             info["window_clip"] = wc["clip_mass"]
             info["window_clip_db"] = wc_db = wc["clip_db"]
+        info["audit_trail"].append({
+            "probe_sample_num": psn,
+            "false_skip_rate": fs,
+            "window_clip_db": (wc_db if focus and fs <= tol else None),
+            "kept_fraction": float(keep_mask.mean())})
         if fs <= tol and wc_db <= win_tol_db:
             if focus:
                 out = render_frame_probe_focus(

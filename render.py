@@ -310,6 +310,7 @@ def render_video_gen(database_name, cfg_fn, pose_type, pose_fn,
                         # rejection reason — log it alongside
                         "window_clip": out.get("window_clip"),
                         "window_clip_db": out.get("window_clip_db"),
+                        "audit_trail": out.get("audit_trail"),
                         "fallback": out["fallback"]}) + "\n")
             elif skip_mode in ("auto", "auto_focus") and auto_fallback:
                 out = render_frame_skip_empty(

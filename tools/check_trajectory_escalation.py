@@ -4,7 +4,7 @@ Complements tests/test_auto_reaudit.py (which verifies the per-frame
 re-audit / sticky-up / fallback CONTROL plumbing with scripted audit
 outcomes): here the escalation must happen for PHYSICS reasons, not by
 script. The camera sits on the radius-4 shell of a purpose-built pan
-scene (a textured anchor sphere and an X of thin rods of r=0.10
+scene (a diffuse anchor sphere and an X of thin rods of r=0.10
 spheres ~32 deg apart — make_pan_scene_spheres) and PANS from a view
 that contains only the anchor (every rod sphere projected against the
 frustum, 12 px margin) to a view centered on the rod. With
@@ -222,6 +222,8 @@ def main():
             "kept_fraction": round(out.get("kept_rays", n_rays)
                                    / n_rays, 4),
             "psnr_vs_gt": round(psnr(img, gt.reshape(-1, 3)), 3),
+            # per-rung measured rates, incl. the REJECTED rungs
+            "audit_trail": out.get("audit_trail"),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
