@@ -86,13 +86,17 @@ def main():
 
     quant = os.environ.get("BENCH_QUANT", "u8" if on_tpu else "none")
     # Default mode: probe-FOCUSED render at 16 probe samples,
-    # 16 coarse + 32 fine samples inside each kept ray's probe-narrowed
-    # depth window. One setting, measured best on BOTH sweep scenes
-    # (tools/check_skip_quality.py --focus): sphere 142k rays/s
-    # amortized at PSNR-vs-GT 26.8 (full render: 26.09), multi-blob
-    # 224k at 34.18 (full: 33.37) — no per-scene probe tuning.
-    # BENCH_SKIP_MODE=probe restores the exact-kept-ray skip
-    # (psn 8, 90.9k, GT 28.0 on the sphere), =two_phase the exact gate.
+    # 12 coarse + 24 fine samples inside each kept ray's probe-narrowed
+    # depth window. One setting, measured to beat the FULL render's
+    # GT accuracy on BOTH sweep scenes (tools/check_skip_quality.py
+    # --focus, docs/ARCHITECTURE.md sample-count sweep): sphere 238.6k
+    # rays/s amortized at PSNR-vs-GT 26.25 (full render: 26.08),
+    # multi-blob 376.3k at 33.81 (full: 33.37) — no per-scene tuning.
+    # 16:32 (BENCH_FOCUS_SN=16 BENCH_FOCUS_FSN=32, the eval-profile
+    # setting) buys ~1 dB more GT margin at ~0.8x speed; 8:16 collapses
+    # (22.1 dB on the sphere) and is rejected. BENCH_SKIP_MODE=probe
+    # restores the exact-kept-ray skip (psn 8, 90.9k, GT 28.0 on the
+    # sphere), =two_phase the exact gate.
     skip_mode = os.environ.get("BENCH_SKIP_MODE", "focus")
     default_psn = 16 if skip_mode == "focus" else 8
     probe_sn = int(os.environ.get("BENCH_PROBE_SN", default_psn))
@@ -101,9 +105,9 @@ def main():
         fine_depth_sample_num=dn, ray_batch_num=chunk,
         probe_sample_num=probe_sn,
         focus_sample_num=int(os.environ.get("BENCH_FOCUS_SN",
-                                            16 if on_tpu else 8)),
+                                            12 if on_tpu else 8)),
         focus_fine_sample_num=int(os.environ.get("BENCH_FOCUS_FSN",
-                                                 32 if on_tpu else 8)),
+                                                 24 if on_tpu else 8)),
         # the rfn^2*h*w cross-view diff gather dominates the scene
         # encode (tools/profile_encode.py: 1.29s of 1.51s); computing
         # it on the half grid costs -0.05 dB GT on the sphere, +0.03 on
